@@ -1,0 +1,33 @@
+"""huffman_tpu — a TPU-native Huffman codec framework.
+
+Built from scratch in JAX/XLA/Pallas with the full capabilities of the
+reference GPU encoder (vlnguyen92/Huffman-GPU "PAVLE", mounted at
+/root/reference): device byte histogram, canonical Huffman codebook,
+block-local variable-length encode with prefix-summed bit offsets,
+bit-granular packing into one dense stream, a CPU golden codec oracle,
+plus — beyond the reference — a table-driven parallel decoder and
+data-parallel multi-chip/multi-host scale-out over a jax.sharding.Mesh.
+
+Layer map (mirrors SURVEY.md section 1's L1-L6, TPU-first):
+  cli / api        — L6 driver (reference: main_test_cu.cu)
+  container, io    — L5 ingest + serialization (reference: load_data.h)
+  codebook, models — L5 codebook construction (reference: huffTree.h)
+  ops/             — L4 device compute: histogram, encode, scan, pack,
+                     decode; ops/pallas for hand-written Mosaic kernels
+  golden/          — L3 CPU golden codec (reference: cpuencode.cpp)
+  config           — L2 runtime configuration (reference: parameters.h)
+  utils/, verify   — L1 observability + verification helpers
+  parallel/        — mesh / collectives layer (no reference analogue;
+                     the reference is single-GPU)
+"""
+
+from .config import CodecConfig, DEFAULT_CONFIG, NUM_SYMBOLS
+from .codebook import Codebook, entropy_bits_per_byte, byte_histogram_host
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CodecConfig", "DEFAULT_CONFIG", "NUM_SYMBOLS",
+    "Codebook", "entropy_bits_per_byte", "byte_histogram_host",
+    "__version__",
+]
