@@ -1,0 +1,166 @@
+"""High-level single-process codec API.
+
+The TPU analogue of the reference driver's per-file pipeline
+(reference: main_test_cu.cu:52-180 runVLCTest): histogram -> codebook ->
+block encode -> offset scan -> pack, plus decode (which the reference
+lacks).  Device staging differences from the reference:
+
+  * All device stages fuse under one jit (encode_pipeline); the reference
+    launches 4+ kernels with host round-trips between them
+    (main_test_cu.cu:142,164,166).
+  * Buffers are sized statically from config; arbitrary input sizes are
+    handled by a zero-contribution padded tail (the reference punts:
+    load_data.h:20 todo, pack's divisibility assumption main_test_cu.cu:166).
+  * Overflow of the per-block output capacity is detected and raised
+    (the reference silently corrupts shared memory past its assumption,
+    vlc_kernel_sm64huff.cu:30-32).
+
+Multi-chip/multi-host variants of the same pipeline live in
+parallel/pipeline.py; this module is intentionally mesh-free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .codebook import Codebook
+from .config import CodecConfig, DEFAULT_CONFIG, cdiv
+from .ops import decode as decode_ops
+from .ops import encode as encode_ops
+from .ops import histogram as hist_ops
+from .ops import pack as pack_ops
+from .ops.scan import BitOffsets
+
+
+@dataclasses.dataclass(frozen=True)
+class Encoded:
+    """An encoded stream plus everything needed to decode it.
+
+    This is the in-memory form of the container (container.py serializes
+    it): the dense bitstream, the codebook as lengths, and per-block bit
+    counts — which make every block's start offset recomputable, the
+    property that enables parallel decode and doubles as the
+    checkpoint/resume story (SURVEY.md section 5, checkpoint row).
+    """
+    stream_words: np.ndarray      # (ceil(total_bits/32),) uint32
+    total_bits: int
+    block_bits: np.ndarray        # (NB,) int32
+    codebook: Codebook
+    n_bytes: int
+    config: CodecConfig
+
+    @property
+    def stream_bytes(self) -> np.ndarray:
+        """MSB-first byte view (bit-comparable with the golden codec)."""
+        from .golden.numpy_codec import words_to_packed_bytes
+        return words_to_packed_bytes(self.stream_words, self.total_bits)
+
+    @property
+    def ratio(self) -> float:
+        return (self.total_bits / 8) / max(self.n_bytes, 1)
+
+
+def _as_blocks(data, cfg: CodecConfig) -> tuple[np.ndarray, int]:
+    arr = (np.frombuffer(data, dtype=np.uint8)
+           if isinstance(data, (bytes, bytearray))
+           else np.ascontiguousarray(data, dtype=np.uint8).reshape(-1))
+    n = arr.size
+    nb = cfg.num_blocks(n)
+    padded = np.zeros(nb * cfg.block_bytes, dtype=np.uint8)
+    padded[:n] = arr
+    return padded.reshape(nb, cfg.block_bytes), n
+
+
+def valid_per_block(n_bytes: int, num_blocks: int, block_bytes: int,
+                    ) -> np.ndarray:
+    """Real byte count of each block: BB for full blocks, the remainder for
+    the final partial block, 0 for padding blocks (mesh rounding)."""
+    ends = np.minimum((np.arange(num_blocks, dtype=np.int64) + 1)
+                      * block_bytes, n_bytes)
+    starts = np.minimum(np.arange(num_blocks, dtype=np.int64)
+                        * block_bytes, n_bytes)
+    return (ends - starts).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity_words",))
+def encode_pipeline(byte_blocks, codes, lengths, valid_bytes, capacity_words):
+    """Fused device pipeline: block encode -> offset scan -> pack."""
+    packed, block_bits = encode_ops.encode_blocks(
+        byte_blocks, codes, lengths, valid_bytes, capacity_words)
+    stream, offsets = pack_ops.pack_blocks(packed, block_bits)
+    return stream, block_bits, offsets
+
+
+def build_codebook(data, cfg: CodecConfig = DEFAULT_CONFIG,
+                   use_device: bool = True) -> Codebook:
+    """Histogram (on device by default) + host-side canonical codebook."""
+    if use_device:
+        blocks, n = _as_blocks(data, cfg)
+        freqs = np.asarray(hist_ops.histogram(jnp.asarray(blocks), n))
+    else:
+        from .codebook import byte_histogram_host
+        freqs = byte_histogram_host(data)
+    return Codebook.from_frequencies(freqs, cfg.max_code_len)
+
+
+def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
+           codebook: Codebook | None = None) -> Encoded:
+    """Encode a byte stream on the default device."""
+    blocks, n = _as_blocks(data, cfg)
+    if n == 0:
+        return Encoded(np.zeros(0, np.uint32), 0,
+                       np.zeros(1, np.int32),
+                       codebook or Codebook.from_lengths(np.zeros(256)),
+                       0, cfg)
+    cb = codebook or build_codebook(data, cfg)
+    if codebook is not None and np.any(
+            (cb.lengths[np.unique(blocks.reshape(-1)[:n])] == 0)):
+        raise ValueError("input contains symbols absent from the codebook")
+    valid = valid_per_block(n, blocks.shape[0], cfg.block_bytes)
+    stream, block_bits, offsets = encode_pipeline(
+        jnp.asarray(blocks), jnp.asarray(cb.codes),
+        jnp.asarray(cb.lengths), jnp.asarray(valid), cfg.capacity_words)
+    block_bits = np.asarray(block_bits)
+    if cfg.check_overflow and (block_bits > cfg.capacity_words * 32).any():
+        bad = int(np.argmax(block_bits > cfg.capacity_words * 32))
+        raise OverflowError(
+            f"block {bad} needs {int(block_bits[bad])} bits > capacity "
+            f"{cfg.capacity_words * 32}; raise config.capacity_bits_per_byte")
+    total_bits = int(block_bits.astype(np.int64).sum())
+    n_words = cdiv(total_bits, 32)
+    return Encoded(stream_words=np.asarray(stream)[:n_words],
+                   total_bits=total_bits, block_bits=block_bits,
+                   codebook=cb, n_bytes=n, config=cfg)
+
+
+def decode(enc: Encoded) -> np.ndarray:
+    """Decode an Encoded stream on the default device. Returns uint8 array."""
+    if enc.n_bytes == 0:
+        return np.zeros(0, np.uint8)
+    cfg = enc.config
+    from .ops.scan import exclusive_bit_offsets
+    offsets = exclusive_bit_offsets(jnp.asarray(enc.block_bits, jnp.int32))
+    syms, lens = enc.codebook.decode_table(cfg.decode_table_bits)
+    # Two words of tail slack for the final window peek.
+    stream = np.concatenate([enc.stream_words,
+                             np.zeros(2, np.uint32)])
+    valid = valid_per_block(enc.n_bytes, len(enc.block_bits),
+                            cfg.block_bytes)
+    out = decode_ops.decode_blocks(
+        jnp.asarray(stream), offsets.word_base, offsets.bit_shift,
+        jnp.asarray(valid), jnp.asarray(syms), jnp.asarray(lens),
+        cfg.block_bytes, cfg.decode_table_bits)
+    return np.asarray(out).reshape(-1)[: enc.n_bytes]
+
+
+def roundtrip_ok(data, cfg: CodecConfig = DEFAULT_CONFIG) -> bool:
+    """Encode+decode and compare (the one-call verification helper)."""
+    arr = (np.frombuffer(data, dtype=np.uint8)
+           if isinstance(data, (bytes, bytearray)) else np.asarray(data))
+    enc = encode(arr, cfg)
+    return bool(np.array_equal(decode(enc), arr))

@@ -1,0 +1,100 @@
+"""Self-describing container file format (.htz) for encoded streams.
+
+The reference has no on-disk format at all — its output lives and dies in
+device memory within one process run (SURVEY.md section 5, checkpoint row:
+"the packed bitstream + codebook fully determine resumability per block").
+This container makes that observation concrete: the header carries the
+canonical codebook (as 256 code lengths — canonical codes are fully
+determined by lengths) and the per-block bit counts, so any block range can
+be decoded independently: the format doubles as checkpoint/resume state.
+
+Layout (all integers little-endian):
+
+  offset  size  field
+  0       4     magic  b"HTZ1"
+  4       4     version (u32) = 1
+  8       4     flags (u32, reserved)
+  12      8     original length in bytes (u64)
+  20      4     block_bytes (u32)
+  24      4     max_code_len (u32)
+  28      8     total_bits (u64)
+  36      4     num_blocks (u32)
+  40      256   code lengths, one byte per symbol
+  296     4*NB  per-block bit counts (u32 each)
+  ...           payload: ceil(total_bits/32) words, each stored big-endian
+                (so the payload bytes are exactly the MSB-first bitstream)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from .api import Encoded
+from .codebook import Codebook
+from .config import CodecConfig, cdiv
+
+MAGIC = b"HTZ1"
+VERSION = 1
+_HEADER = struct.Struct("<4sIIQIIQI")  # magic, ver, flags, n, bb, mcl, bits, nb
+
+
+def dumps(enc: Encoded) -> bytes:
+    """Serialize an Encoded stream to container bytes."""
+    header = _HEADER.pack(MAGIC, VERSION, 0, enc.n_bytes,
+                          enc.config.block_bytes, enc.config.max_code_len,
+                          enc.total_bits, len(enc.block_bits))
+    lens = np.asarray(enc.codebook.lengths, dtype=np.uint8).tobytes()
+    bbits = np.asarray(enc.block_bits, dtype=np.uint32).tobytes()
+    n_words = cdiv(enc.total_bits, 32)
+    payload = np.ascontiguousarray(
+        enc.stream_words[:n_words], dtype=np.uint32).astype(">u4").tobytes()
+    return header + lens + bbits + payload
+
+
+def loads(blob: bytes) -> Encoded:
+    """Deserialize container bytes back to an Encoded stream."""
+    if len(blob) < _HEADER.size:
+        raise ValueError(
+            f"not an HTZ container: {len(blob)} bytes < header size")
+    magic, ver, _flags, n_bytes, block_bytes, max_code_len, total_bits, nb = \
+        _HEADER.unpack_from(blob, 0)
+    if magic != MAGIC:
+        raise ValueError(f"not an HTZ container (magic {magic!r})")
+    if ver != VERSION:
+        raise ValueError(f"unsupported container version {ver}")
+    if len(blob) < overhead_bytes(nb) + 4 * cdiv(total_bits, 32):
+        raise ValueError("truncated HTZ container")
+    off = _HEADER.size
+    lens = np.frombuffer(blob, dtype=np.uint8, count=256, offset=off)
+    off += 256
+    block_bits = np.frombuffer(blob, dtype=np.uint32, count=nb,
+                               offset=off).astype(np.int32)
+    off += 4 * nb
+    n_words = cdiv(total_bits, 32)
+    words = np.frombuffer(blob, dtype=">u4", count=n_words,
+                          offset=off).astype(np.uint32)
+    cfg = CodecConfig(block_bytes=block_bytes, max_code_len=max_code_len)
+    cb = Codebook.from_lengths(lens.astype(np.int32))
+    return Encoded(stream_words=words, total_bits=total_bits,
+                   block_bits=block_bits, codebook=cb,
+                   n_bytes=n_bytes, config=cfg)
+
+
+def dump(enc: Encoded, path: str) -> int:
+    blob = dumps(enc)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load(path: str) -> Encoded:
+    with open(path, "rb") as f:
+        return loads(f.read())
+
+
+def overhead_bytes(num_blocks: int) -> int:
+    """Container overhead for a given block count (header + tables)."""
+    return _HEADER.size + 256 + 4 * num_blocks

@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The axon sitecustomize hook (TPU tunnel) force-sets jax_platforms via
+# jax.config at interpreter start, overriding the env var — undo that so
+# tests run on the 8-device virtual CPU backend.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
