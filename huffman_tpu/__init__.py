@@ -21,6 +21,16 @@ Layer map (mirrors SURVEY.md section 1's L1-L6, TPU-first):
                      the reference is single-GPU)
 """
 
+import os as _os
+
+# Persistent XLA/Mosaic compilation cache: the Pallas kernels take minutes
+# to compile on TPU (one-time); cached executables load in <1s.  Set
+# before jax import; jax reads the env var lazily at first compile.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "huffman_tpu_jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from .config import CodecConfig, DEFAULT_CONFIG, NUM_SYMBOLS
 from .codebook import Codebook, entropy_bits_per_byte, byte_histogram_host
 

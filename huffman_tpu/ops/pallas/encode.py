@@ -102,6 +102,44 @@ def _lut_lookup_chunks(sym_chunks, table_lanes):
     return out
 
 
+def merge_level(vals, lens, S: int, it):
+    """One in-place doubling merge over chunked (T, 128) arrays.
+
+    vals: chunk list of (T, 128) u32 — item streams, left-aligned, item i
+    occupying lanes [i*S, (i+1)*S), zero beyond each item's real words.
+    lens: chunk list of (T, 128) i32 — per-LANE item bit lengths (every
+    lane of an item's span holds that item's total).  S: item spacing in
+    lanes.  it: (T, 128) lane iota.  Returns merged (vals, lens) with
+    spacing 2*S.  Generic over chunk count: used by the block encoder
+    (S=1..256 within 1 KiB blocks) and the pack kernels (S=256.. across
+    blocks — reference pack analogue, pack_kernels.cu:19-52).
+    """
+    M2 = 2 * S
+    n = len(vals)
+    lane = [it + 128 * d for d in range(n)]
+    base = [ln & ~(M2 - 1) for ln in lane]
+    a_len = gather_chunks(lens, base, -(M2 - 1), 0)
+    b_len = gather_chunks(lens, [b + S for b in base], -(M2 - 1), S)
+    ws = [al >> 5 for al in a_len]
+    src = [ln + S - w for ln, w in zip(lane, ws)]
+    braw = gather_chunks(vals, src, 0, S)
+    bprev = gather_chunks(vals, [s - 1 for s in src], -1, S - 1)
+    new_vals, new_lens = [], []
+    for d in range(n):
+        sh = a_len[d] & 31
+        j = lane[d] - base[d]
+        br = jnp.where((src[d] >= base[d] + S) & (src[d] < base[d] + M2),
+                       braw[d], _U32(0))
+        bp = jnp.where((src[d] - 1 >= base[d] + S)
+                       & (src[d] - 1 < base[d] + M2), bprev[d], _U32(0))
+        bsh = _safe_shr(br, sh) | _safe_shl(bp, 32 - sh)
+        in_b = (j >= ws[d]) & (j <= ws[d] + S) & (j < M2)
+        bsh = jnp.where(in_b, bsh, _U32(0))
+        new_vals.append(jnp.where(j < S, vals[d], _U32(0)) | bsh)
+        new_lens.append(a_len[d] + b_len[d])
+    return new_vals, new_lens
+
+
 def encode_tree_chunks(sym_chunks, table_lanes, valid_col):
     """Chunkwise encode of T blocks -> (4 chunks of (T,128) u32, (T,) i32).
 
@@ -132,30 +170,7 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col):
 
     # L1..L9: in-place doubling merges.  Level k: spacing S = 2^(k-1).
     for k in range(1, 10):
-        S = 1 << (k - 1)
-        M2 = 2 * S
-        lane = [it + 128 * d for d in range(NCHUNK)]
-        base = [ln & ~(M2 - 1) for ln in lane]
-        a_len = gather_chunks(lens, base, -(M2 - 1), 0)
-        b_len = gather_chunks(lens, [b + S for b in base], -(M2 - 1), S)
-        ws = [al >> 5 for al in a_len]
-        src = [ln + S - w for ln, w in zip(lane, ws)]
-        braw = gather_chunks(vals, src, 0, S)
-        bprev = gather_chunks(vals, [s - 1 for s in src], -1, S - 1)
-        new_vals, new_lens = [], []
-        for d in range(NCHUNK):
-            sh = a_len[d] & 31
-            j = lane[d] - base[d]
-            br = jnp.where((src[d] >= base[d] + S) & (src[d] < base[d] + M2),
-                           braw[d], _U32(0))
-            bp = jnp.where((src[d] - 1 >= base[d] + S)
-                           & (src[d] - 1 < base[d] + M2), bprev[d], _U32(0))
-            bsh = _safe_shr(br, sh) | _safe_shl(bp, 32 - sh)
-            in_b = (j >= ws[d]) & (j <= ws[d] + S) & (j < M2)
-            bsh = jnp.where(in_b, bsh, _U32(0))
-            new_vals.append(jnp.where(j < S, vals[d], _U32(0)) | bsh)
-            new_lens.append(a_len[d] + b_len[d])
-        vals, lens = new_vals, new_lens
+        vals, lens = merge_level(vals, lens, 1 << (k - 1), it)
 
     block_bits = lens[0][:, 0]
     return vals, block_bits
