@@ -61,13 +61,19 @@ def main() -> None:
     dl = jax.device_put(jnp.asarray(cb.lengths))
     dv = jax.device_put(jnp.asarray(valid))
 
+    use_pallas = api._pallas_ok(cfg)
+
     def chained(k: int):
         """Run the pipeline k times with a data-dependent chain."""
         def fn(b, c, l, v):
             def body(carry, _):
                 bb = b.at[0, 0].set(b[0, 0] ^ (carry & jnp.uint8(1)))
-                stream, block_bits, offsets = api.encode_pipeline(
-                    bb, c, l, v, cfg.capacity_words)
+                if use_pallas:
+                    stream, block_bits = api.encode_pipeline_pallas(
+                        bb, c, l, v, cfg.capacity_words)
+                else:
+                    stream, block_bits, _off = api.encode_pipeline(
+                        bb, c, l, v, cfg.capacity_words)
                 nxt = stream[0].astype(jnp.uint8)
                 return nxt, block_bits[0]
             carry, outs = jax.lax.scan(body, jnp.uint8(0), None, length=k)
