@@ -196,18 +196,48 @@ def decode(enc: Encoded) -> np.ndarray:
     if enc.n_bytes == 0:
         return np.zeros(0, np.uint8)
     cfg = enc.config
+    valid = valid_per_block(enc.n_bytes, len(enc.block_bits),
+                            cfg.block_bytes)
+    # NOTE: dense-format decode has no Mosaic kernel: per-block windows
+    # need word-granular HBM DMA, but TPU DMA slices are 8-row (1024-word)
+    # granular (see ops/pallas/decode.py).  The fast device decode path is
+    # the wide (interleaved) container format; this dense path is the
+    # bit-compatible fallback.
     from .ops.scan import exclusive_bit_offsets
     offsets = exclusive_bit_offsets(jnp.asarray(enc.block_bits, jnp.int32))
     syms, lens = enc.codebook.decode_table(cfg.decode_table_bits)
     # Two words of tail slack for the final window peek.
     stream = np.concatenate([enc.stream_words,
                              np.zeros(2, np.uint32)])
-    valid = valid_per_block(enc.n_bytes, len(enc.block_bits),
-                            cfg.block_bytes)
     out = decode_ops.decode_blocks(
         jnp.asarray(stream), offsets.word_base, offsets.bit_shift,
         jnp.asarray(valid), jnp.asarray(syms), jnp.asarray(lens),
         cfg.block_bytes, cfg.decode_table_bits)
+    return np.asarray(out).reshape(-1)[: enc.n_bytes]
+
+
+def _decode_pallas(enc: Encoded, valid: np.ndarray) -> np.ndarray:
+    """Mosaic decode path: per-block cursors from host scan, bucketed NB."""
+    from .ops.pallas.decode import decode_blocks_pallas
+    cfg = enc.config
+    bits = enc.block_bits.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(bits)[:-1]])
+    word_base = (starts >> 5).astype(np.int32)
+    bit_shift = (starts & 31).astype(np.int32)
+    nb = len(bits)
+    nbb = 1024                      # decode tiles are 1024 blocks
+    while nbb < nb:
+        nbb *= 2
+    pad = nbb - nb
+    tb = cfg.decode_table_bits
+    syms, lens = enc.codebook.decode_table(tb)
+    entries = (syms.astype(np.int32) << 5) | lens.astype(np.int32)
+    out = decode_blocks_pallas(
+        jnp.asarray(enc.stream_words),
+        jnp.asarray(np.pad(word_base, (0, pad))),
+        jnp.asarray(np.pad(bit_shift, (0, pad))),
+        jnp.asarray(np.pad(valid.astype(np.int32), (0, pad))),
+        jnp.asarray(entries), tb)
     return np.asarray(out).reshape(-1)[: enc.n_bytes]
 
 

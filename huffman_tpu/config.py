@@ -45,7 +45,10 @@ class CodecConfig:
         reference relies on data-dependent luck to stay <=32
         (cpuencode.cpp:10); we enforce the cap with package-merge
         (length-limited Huffman) so the table-driven decoder always works
-        with a single 2**max_code_len-entry lookup.
+        with a single 2**max_code_len-entry lookup.  Default 12: the
+        Pallas decoder's in-VMEM table scan wants <=12 (ops/pallas/
+        decode.py), and 12-bit-limited codes cost <<1% compression on
+        byte alphabets; the XLA paths accept up to 24.
       capacity_bits_per_byte: per-block encoded-output capacity, in bits per
         input byte.  The reference assumes compression ratio <= 1, i.e. 8
         bits/byte (vlc_kernel_sm64huff.cu:30-32); we keep that default but
@@ -56,7 +59,7 @@ class CodecConfig:
     """
 
     block_bytes: int = 1024
-    max_code_len: int = 16
+    max_code_len: int = 12
     capacity_bits_per_byte: int = 8
     check_overflow: bool = True
     table_bits: int | None = None
