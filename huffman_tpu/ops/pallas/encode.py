@@ -140,12 +140,18 @@ def merge_level(vals, lens, S: int, it):
     return new_vals, new_lens
 
 
-def encode_tree_chunks(sym_chunks, table_lanes, valid_col):
-    """Chunkwise encode of T blocks -> (4 chunks of (T,128) u32, (T,) i32).
+def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
+                       stop_level: int = 10):
+    """Chunkwise encode of T blocks -> (4 chunks of (T,128) u32, lens).
 
     sym_chunks: 8 chunks of (T, 128) int32 byte symbols (1024 bytes/block,
     bytes along lanes).  table_lanes: (>=2, 128) int32 packed code*32+len.
     valid_col: (T, 1) int32 count of real bytes per block.
+    stop_level: stop the merge tree early — at level k the row holds
+    2^(10-k) items of 2^k bytes each, spacing 2^(k-1) lanes (the wide
+    format's substream encoder stops at 8: four 256-byte substreams per
+    row).  At the default 10 the whole 1 KiB block is one stream and the
+    returned bits are lens[0][:, 0].
     """
     t = sym_chunks[0].shape[0]
     it = _iota128(t)
@@ -168,12 +174,11 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col):
             for av, bv, al in zip(a_v, b_v, a_l)]
     lens = [al + bl for al, bl in zip(a_l, b_l)]
 
-    # L1..L9: in-place doubling merges.  Level k: spacing S = 2^(k-1).
-    for k in range(1, 10):
+    # L1..: in-place doubling merges.  Level k: spacing S = 2^(k-1).
+    for k in range(1, stop_level):
         vals, lens = merge_level(vals, lens, 1 << (k - 1), it)
 
-    block_bits = lens[0][:, 0]
-    return vals, block_bits
+    return vals, lens
 
 
 def encode_tree_body(sym, table_lanes, valid_col):
@@ -182,18 +187,18 @@ def encode_tree_body(sym, table_lanes, valid_col):
     sym: (T, 1024) int32; returns ((T, 512) u32, (T,) i32).
     """
     sym_chunks = [sym[:, c * 128:(c + 1) * 128] for c in range(8)]
-    vals, bits = encode_tree_chunks(sym_chunks, table_lanes, valid_col)
-    return jnp.concatenate(vals, axis=1), bits
+    vals, lens = encode_tree_chunks(sym_chunks, table_lanes, valid_col)
+    return jnp.concatenate(vals, axis=1), lens[0][:, 0]
 
 
 def _encode_kernel(table_ref, valid_ref, sym_ref, out_ref, bits_ref,
                    *, cap_words: int):
     sym_chunks = [sym_ref[:, c * 128:(c + 1) * 128].astype(jnp.int32)
                   for c in range(8)]
-    vals, bits = encode_tree_chunks(sym_chunks, table_ref[:],
+    vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
                                     valid_ref[:, 0:1])
     out_ref[:] = jnp.concatenate(vals, axis=1)[:, :cap_words]
-    bits_ref[:] = jnp.broadcast_to(bits[:, None], bits_ref.shape)
+    bits_ref[:] = jnp.broadcast_to(lens[0][:, 0:1], bits_ref.shape)
 
 
 def pack_table(codes, lengths) -> "jax.Array":
