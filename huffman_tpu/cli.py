@@ -55,17 +55,28 @@ def cmd_encode(args) -> int:
         data = _read(path)
         h = entropy_bits_per_byte(byte_histogram_host(data))
         with HostTimer() as t:
-            enc = api.encode(data, cfg)
+            if args.format == "wide":
+                from . import wide
+                enc = wide.encode_wide(data, cfg)
+            else:
+                enc = api.encode(data, cfg)
         out = args.output or (path + ".htz")
         size = container.dump(enc, out)
         print(f"{path}: {data.size} B, H={h:.4f} bits/B -> {out}: {size} B "
               f"(ratio {size / max(data.size, 1):.4f}) in {t.ms:.1f} ms "
               f"[{gb_per_s(data.size / 2**20, t.ms):.3f} GB/s inc. compile]")
         if args.verify:
-            from .verify import verify_encoded
-            res = verify_encoded(enc, data)
-            print(f"  verify vs golden: {'PASS' if res else 'FAIL'} — {res.detail}")
-            rc |= 0 if res else 1
+            if args.format == "wide":
+                from . import wide
+                ok = bool(np.array_equal(wide.decode_wide(enc), data))
+                print(f"  verify roundtrip: {'PASS' if ok else 'FAIL'}")
+                rc |= 0 if ok else 1
+            else:
+                from .verify import verify_encoded
+                res = verify_encoded(enc, data)
+                print(f"  verify vs golden: "
+                      f"{'PASS' if res else 'FAIL'} — {res.detail}")
+                rc |= 0 if res else 1
     return rc
 
 
@@ -73,7 +84,12 @@ def cmd_decode(args) -> int:
     for path in args.files:
         enc = container.load(path)
         with HostTimer() as t:
-            data = api.decode(enc)
+            from .wide import WideEncoded
+            if isinstance(enc, WideEncoded):
+                from . import wide
+                data = wide.decode_wide(enc)
+            else:
+                data = api.decode(enc)
         out = args.output or (path[:-4] if path.endswith(".htz")
                               else path + ".out")
         with open(out, "wb") as f:
@@ -137,11 +153,19 @@ def cmd_info(args) -> int:
     for path in args.files:
         enc = container.load(path)
         used = int((enc.codebook.lengths > 0).sum())
-        print(f"{path}: v{container.VERSION}, {enc.n_bytes} B original, "
-              f"{enc.total_bits} bits payload, {len(enc.block_bits)} blocks "
-              f"x {enc.config.block_bytes} B, {used} symbols, "
-              f"max code len {enc.codebook.max_len}, "
-              f"overhead {container.overhead_bytes(len(enc.block_bits))} B")
+        from .wide import WideEncoded
+        if isinstance(enc, WideEncoded):
+            print(f"{path}: v2 (wide), {enc.n_bytes} B original, "
+                  f"{enc.payload_words.size} payload words, "
+                  f"{len(enc.tile_words)} tiles, {used} symbols, "
+                  f"max code len {enc.codebook.max_len}")
+        else:
+            print(f"{path}: v1 (dense), {enc.n_bytes} B original, "
+                  f"{enc.total_bits} bits payload, "
+                  f"{len(enc.block_bits)} blocks "
+                  f"x {enc.config.block_bytes} B, {used} symbols, "
+                  f"max code len {enc.codebook.max_len}, "
+                  f"overhead {container.overhead_bytes(len(enc.block_bits))} B")
     return 0
 
 
@@ -167,6 +191,9 @@ def main(argv=None) -> int:
     add_common(sp, output=True)
     sp.add_argument("--verify", action="store_true",
                     help="bit-exact check vs the CPU golden encoder")
+    sp.add_argument("--format", choices=("dense", "wide"), default="dense",
+                    help="dense: bit-concatenated stream (golden-exact); "
+                    "wide: interleaved format for fast vector decode")
     sp.set_defaults(fn=cmd_encode)
 
     sp = sub.add_parser("decode", help="decode .htz containers")

@@ -23,6 +23,13 @@ Layout (all integers little-endian):
   296     4*NB  per-block bit counts (u32 each)
   ...           payload: ceil(total_bits/32) words, each stored big-endian
                 (so the payload bytes are exactly the MSB-first bitstream)
+
+Version 2 (the WIDE interleaved format, golden/wide_codec.py): the same
+header with block_bytes := the tile size, total_bits := payload words * 32
+and num_blocks := the tile count; the per-block table holds per-TILE
+payload word counts, and the payload is the word-aligned concatenation of
+tile payloads (words little-endian: they are schedule-ordered machine
+words, not a bitstream).
 """
 
 from __future__ import annotations
@@ -83,16 +90,60 @@ def loads(blob: bytes) -> Encoded:
                    n_bytes=n_bytes, config=cfg)
 
 
-def dump(enc: Encoded, path: str) -> int:
-    blob = dumps(enc)
+def dumps_wide(enc) -> bytes:
+    """Serialize a wide.WideEncoded stream (container version 2)."""
+    from .golden.wide_codec import TILE_BYTES
+    header = _HEADER.pack(MAGIC, 2, 0, enc.n_bytes, TILE_BYTES,
+                          enc.config.max_code_len,
+                          int(enc.payload_words.size) * 32,
+                          len(enc.tile_words))
+    lens = np.asarray(enc.codebook.lengths, dtype=np.uint8).tobytes()
+    counts = np.asarray(enc.tile_words, dtype=np.uint32).tobytes()
+    payload = np.ascontiguousarray(enc.payload_words,
+                                   dtype=np.uint32).tobytes()
+    return header + lens + counts + payload
+
+
+def loads_wide(blob: bytes):
+    """Deserialize container version 2 to wide.WideEncoded."""
+    from .wide import WideEncoded
+    magic, ver, _f, n_bytes, _tile, max_code_len, bits, nt = \
+        _HEADER.unpack_from(blob, 0)
+    if magic != MAGIC or ver != 2:
+        raise ValueError("not a version-2 (wide) HTZ container")
+    off = _HEADER.size
+    lens = np.frombuffer(blob, dtype=np.uint8, count=256, offset=off)
+    off += 256
+    counts = np.frombuffer(blob, dtype=np.uint32, count=nt,
+                           offset=off).astype(np.int32)
+    off += 4 * nt
+    words = np.frombuffer(blob, dtype=np.uint32, count=bits // 32,
+                          offset=off)
+    cfg = CodecConfig(max_code_len=max_code_len)
+    cb = Codebook.from_lengths(lens.astype(np.int32))
+    return WideEncoded(payload_words=words.copy(), tile_words=counts,
+                       codebook=cb, n_bytes=n_bytes, config=cfg)
+
+
+def container_version(blob: bytes) -> int:
+    if len(blob) < _HEADER.size or blob[:4] != MAGIC:
+        raise ValueError("not an HTZ container")
+    return _HEADER.unpack_from(blob, 0)[1]
+
+
+def dump(enc, path: str) -> int:
+    from .wide import WideEncoded
+    blob = dumps_wide(enc) if isinstance(enc, WideEncoded) else dumps(enc)
     with open(path, "wb") as f:
         f.write(blob)
     return len(blob)
 
 
-def load(path: str) -> Encoded:
+def load(path: str):
+    """Load either container version (dense Encoded or WideEncoded)."""
     with open(path, "rb") as f:
-        return loads(f.read())
+        blob = f.read()
+    return loads_wide(blob) if container_version(blob) == 2 else loads(blob)
 
 
 def overhead_bytes(num_blocks: int) -> int:

@@ -173,8 +173,14 @@ def decode_wide(enc: WideEncoded, interpret: bool = False) -> np.ndarray:
     tb = cfg.decode_table_bits
     syms, lens = enc.codebook.decode_table(tb)
     entries = (syms.astype(np.int32) << 5) | lens.astype(np.int32)
+    # bucket the payload length so any stream size hits a cached executable
+    nwb = 1 << 14
+    while nwb < enc.payload_words.size:
+        nwb *= 2
+    payload = np.zeros(nwb, np.uint32)
+    payload[: enc.payload_words.size] = enc.payload_words
     out = decode_wide_pallas(
-        jnp.asarray(enc.payload_words), jnp.asarray(offs),
+        jnp.asarray(payload), jnp.asarray(offs),
         jnp.asarray(nk.reshape(nt * 8, 128)), jnp.asarray(entries), tb,
         interpret=interpret)
     out = np.asarray(out)
