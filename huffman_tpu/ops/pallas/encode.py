@@ -217,7 +217,7 @@ def pack_table(codes, lengths) -> "jax.Array":
                                     "interpret"))
 def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          lengths: jax.Array, valid_bytes: jax.Array,
-                         capacity_words: int, block_tile: int = 32,
+                         capacity_words: int, block_tile: int = 64,
                          interpret: bool = False):
     """Drop-in twin of ops.encode.encode_blocks on the Pallas path.
 
