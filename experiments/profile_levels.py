@@ -1,0 +1,122 @@
+"""Per-level cost profile of the Pallas encode merge tree on TPU.
+
+Builds encode kernels stopped at increasing stop_level and slope-times
+each; the deltas are per-level costs.  Also times a LUT-only kernel.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_data(n, seed=0):
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(1, 1 << 30, size=n, dtype=np.int64)
+    return (np.log2(raw).astype(np.int32) % 32).astype(np.uint8)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from huffman_tpu import api
+    from huffman_tpu.codebook import Codebook
+    from huffman_tpu.config import CodecConfig
+    from huffman_tpu.ops.pallas.encode import (
+        encode_tree_chunks, pack_table, BLOCK_BYTES, _U32)
+
+    mb = int(os.environ.get("HUFF_BENCH_MB", 64))
+    n = mb * 1024 * 1024
+    data = make_data(n)
+    cfg = CodecConfig()
+    cb = Codebook.from_data(data, cfg.max_code_len)
+    blocks, n_real = api._as_blocks(data, cfg)
+    valid = api.valid_per_block(n_real, blocks.shape[0], cfg.block_bytes)
+    db = jax.device_put(jnp.asarray(blocks))
+    dv = jax.device_put(jnp.asarray(valid))
+    table = jax.device_put(pack_table(jnp.asarray(cb.codes),
+                                      jnp.asarray(cb.lengths)))
+    nb = blocks.shape[0]
+    t = 64
+    grid = nb // t
+
+    def make_stopped(stop_level):
+        def kern(table_ref, valid_ref, sym_ref, out_ref):
+            sym_chunks = [sym_ref[:, c * 128:(c + 1) * 128].astype(jnp.int32)
+                          for c in range(8)]
+            vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
+                                            valid_ref[:, 0:1],
+                                            stop_level=stop_level)
+            acc = vals[0]
+            for v in vals[1:]:
+                acc = acc ^ v
+            acc = acc ^ lens[0].astype(_U32)
+            out_ref[:] = acc
+
+        @jax.jit
+        def run(valid_col, syms):
+            return pl.pallas_call(
+                kern,
+                grid=(grid,),
+                in_specs=[
+                    pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t, BLOCK_BYTES), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((t, 128), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nb, 128), _U32),
+                interpret=False,
+            )(table, valid_col, syms)
+        return run
+
+    valid_col = jnp.broadcast_to(dv.astype(jnp.int32)[:, None], (nb, 128))
+    valid_col = jax.device_put(valid_col)
+
+    def slope(stop_level, reps=3):
+        run = make_stopped(stop_level)
+
+        def chained(k):
+            @jax.jit
+            def fn():
+                def body(carry, _):
+                    s = db.at[0, 0].set(carry)
+                    o = run(valid_col, s)
+                    return o[0, 0].astype(jnp.uint8), o[0, 1]
+                c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
+                return c
+            return fn
+
+        def r(f):
+            t0 = time.perf_counter()
+            out = f()
+            _ = int(np.asarray(out))
+            return time.perf_counter() - t0
+        f1, f2 = chained(1), chained(1 + reps)
+        r(f1); r(f2)
+        t1 = min(r(f1) for _ in range(2))
+        t2 = min(r(f2) for _ in range(2))
+        return max((t2 - t1) / reps, 1e-9)
+
+    prev = None
+    for sl in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+        tt = slope(sl)
+        d = None if prev is None else round((tt - prev) * 1e3, 3)
+        print(json.dumps({"stop_level": sl, "ms": round(tt * 1e3, 3),
+                          "delta_ms": d}), flush=True)
+        prev = tt
+
+
+if __name__ == "__main__":
+    main()

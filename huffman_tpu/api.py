@@ -102,8 +102,13 @@ def _pallas_ok(cfg: CodecConfig) -> bool:
         platform = jax.devices()[0].platform
     except RuntimeError:
         return False
+    # capacity_words is rounded up to a 128-lane chunk by the Pallas
+    # pipeline; the block encoder holds at most LANES=512 words per block,
+    # so oversized capacities must fall back to the XLA pipeline (the
+    # OverflowError remedy at encode() advises raising capacity).
+    cap = cdiv(cfg.capacity_words, 128) * 128
     return (platform == "tpu" and cfg.block_bytes == 1024
-            and cfg.max_code_len <= 16)
+            and cfg.max_code_len <= 16 and cap <= 512)
 
 
 def _bucket_blocks(nb: int) -> int:
@@ -157,14 +162,26 @@ def build_codebook(data, cfg: CodecConfig = DEFAULT_CONFIG,
 
 
 def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
-           codebook: Codebook | None = None) -> Encoded:
-    """Encode a byte stream on the default device."""
+           codebook: Codebook | None = None,
+           model: "CodebookModel | None" = None) -> Encoded:
+    """Encode a byte stream on the default device.
+
+    The codebook comes from (in priority order): `codebook` directly, a
+    `model` (models.CodebookModel — e.g. models.FixedCodebook skips the
+    histogram pass entirely), or the default per-stream canonical Huffman
+    build (device histogram + host tree, the reference's load_data.h:25-58
+    flow).
+    """
     blocks, n = _as_blocks(data, cfg)
     if n == 0:
         return Encoded(np.zeros(0, np.uint32), 0,
                        np.zeros(1, np.int32),
                        codebook or Codebook.from_lengths(np.zeros(256)),
                        0, cfg)
+    if codebook is None and model is not None:
+        arr = (np.frombuffer(data, dtype=np.uint8)
+               if isinstance(data, (bytes, bytearray)) else np.asarray(data))
+        codebook = model.codebook_for(arr)
     cb = codebook or build_codebook(data, cfg)
     if codebook is not None and np.any(
             (cb.lengths[np.unique(blocks.reshape(-1)[:n])] == 0)):

@@ -130,10 +130,15 @@ def cmd_bench(args) -> int:
         valid = jnp.asarray(api.valid_per_block(n, blocks.shape[0],
                                                 cfg.block_bytes))
 
-        enc_stats = time_fn(
-            lambda: api.encode_pipeline(dev_blocks, codes, lens,
-                                        valid, cfg.capacity_words),
-            iters=args.iters)
+        # Time the SAME pipeline api.encode dispatches to (Mosaic kernels
+        # on TPU, XLA elsewhere) — not unconditionally the XLA path.
+        if api._pallas_ok(cfg):
+            bench_fn = lambda: api.encode_pipeline_pallas(  # noqa: E731
+                dev_blocks, codes, lens, valid, cfg.capacity_words)
+        else:
+            bench_fn = lambda: api.encode_pipeline(  # noqa: E731
+                dev_blocks, codes, lens, valid, cfg.capacity_words)
+        enc_stats = time_fn(bench_fn, iters=args.iters)
         rec = logger.log_rate("encode", mb, enc_stats["median_ms"],
                               file=path, bytes=data.size,
                               iters=args.iters)

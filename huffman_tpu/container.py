@@ -107,10 +107,22 @@ def dumps_wide(enc) -> bytes:
 def loads_wide(blob: bytes):
     """Deserialize container version 2 to wide.WideEncoded."""
     from .wide import WideEncoded
-    magic, ver, _f, n_bytes, _tile, max_code_len, bits, nt = \
+    from .golden.wide_codec import MAXLEN, TILE_BYTES
+    magic, ver, _f, n_bytes, tile, max_code_len, bits, nt = \
         _HEADER.unpack_from(blob, 0)
     if magic != MAGIC or ver != 2:
         raise ValueError("not a version-2 (wide) HTZ container")
+    # The stored tile size and code-length cap gate the decode kernels:
+    # a different TILE_BYTES (future format rev) or an oversized
+    # max_code_len would silently misdecode / unroll a 2**len-entry table.
+    if tile != TILE_BYTES:
+        raise ValueError(
+            f"wide container tile size {tile} != supported {TILE_BYTES}")
+    if not (1 <= max_code_len <= MAXLEN):
+        raise ValueError(
+            f"wide container max_code_len {max_code_len} outside [1, {MAXLEN}]")
+    if len(blob) < overhead_bytes(nt) + 4 * (bits // 32):
+        raise ValueError("truncated HTZ container")
     off = _HEADER.size
     lens = np.frombuffer(blob, dtype=np.uint8, count=256, offset=off)
     off += 256

@@ -4,8 +4,9 @@ TPU-native replacement for the reference GPU histogram (reference:
 hist.cu:34-52): where CUDA privatizes 256 shared-memory bins per block and
 merges them with atomicAdd (hist.cu:45-51), the TPU formulation is a
 scatter-free reduction — either XLA's segment-style scatter-add (baseline)
-or, on the hot path, a Pallas kernel that expresses per-tile bincount as an
-MXU outer product of nibble one-hots (ops/pallas/histogram.py).
+or, on the hot path, the one-hot MXU formulation below (histogram_onehot):
+per-tile bincount as a (bytes == arange(256)) mask matmul that XLA maps
+straight onto the systolic array — no Pallas kernel needed.
 
 Note the reference histogram also has a byte/element units bug that makes
 it histogram only ~1/4 of the file (hist.cu:98-102, SURVEY.md C4); this

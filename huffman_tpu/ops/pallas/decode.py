@@ -1,7 +1,10 @@
 """Pallas TPU parallel Huffman decoder for the DENSE stream format.
 
-STATUS: correct under the Pallas interpreter (tests), but NOT wired into
-the api: the per-block window build needs word-granular HBM reads, and TPU
+STATUS: parked, NOT wired into the api and not covered by the test suite
+(an interpreter-mode test is infeasible: every _win_fetch scans the full
+512-chunk window, so one 1024-block tile is hours of interpreter time).
+The blocker for wiring: the per-block window build needs word-granular
+HBM reads, and TPU
 DMA slices are 8-row (1024-word) granular on 2-D refs / tile-granular on
 1-D refs, so a compiling window build would either blow VMEM (2048-word
 windows) or need 4096 sub-granular DMAs per tile.  The production device
@@ -207,7 +210,7 @@ def decode_blocks_pallas(stream: jax.Array, word_base: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, w: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec((8, BLOCK_BYTES * 128 // 4),
                                lambda i, w: (i, 0),

@@ -140,8 +140,116 @@ def merge_level(vals, lens, S: int, it):
     return new_vals, new_lens
 
 
+def _even_odd(chunks, parity: int, n_dest: int, it):
+    """Deinterleave a chunked lane array: out[d][t, l] = src[2*(128d+l)+p].
+
+    Source element s = 2*(128d+l)+parity lives in chunk 2d + (l>=64) at
+    lane (2l+parity)&127 — both the chunk split and the lane index are
+    static, so each dest chunk is at most two gathers and one select.
+    Lanes beyond the live item count return garbage; callers only read
+    live lanes.
+    """
+    idx = (2 * it + parity) & 127
+    out = []
+    for d in range(n_dest):
+        a = jnp.take_along_axis(chunks[2 * d], idx, axis=1)
+        if 2 * d + 1 < len(chunks):
+            b = jnp.take_along_axis(chunks[2 * d + 1], idx, axis=1)
+            out.append(jnp.where(it < 64, a, b))
+        else:
+            out.append(a)
+    return out
+
+
+def _shr_u(x, n):
+    return jax.lax.shift_right_logical(x, n.astype(_U32))
+
+
+def _shl_u(x, n):
+    return jax.lax.shift_left(x, n.astype(_U32))
+
+
+def merge_level_v2(vals, alenc, n_items: int, S: int, it, max_code_len: int):
+    """One doubling merge with compact per-item bit lengths.
+
+    vals: chunk list of (T, 128) u32 — item streams, left-aligned, item i
+    in lanes [i*S, (i+1)*S).  alenc: compact chunk list, item i's total
+    bit length at lane i.  Returns (vals, alenc) at spacing 2*S.
+
+    Against merge_level (v1) this cuts ~3x of the vector ops:
+      * per-lane a_len/b_len gather_chunks -> one static-index gather from
+        the compact array (the pair index per destination lane is a
+        compile-time constant, and always lands in a single compact chunk);
+      * bprev -> a lane-roll of the masked braw with a chunk carry (the
+        word source is contiguous within a pair span, so the roll IS the
+        src-1 gather);
+      * gather spans bounded by the max codeword length (left item of a
+        level-k merge holds at most (2^k * max_code_len)//32 words);
+      * base / j / pair-index vectors are static iota arithmetic.
+    """
+    n = len(vals)
+    M2 = 2 * S
+    P = n_items // 2
+    n_cc = max(1, -(-P // 128))
+    a_c = _even_odd(alenc, 0, n_cc, it)
+    b_c = _even_odd(alenc, 1, n_cc, it)
+    new_alenc = [a + b for a, b in zip(a_c, b_c)]
+
+    # left-item words bound: item at this level is 2^k bytes = 2*S "L1
+    # items"; bits <= 2*S*... expressed via bytes: item_bytes = 2*S (each
+    # L1 lane is a 2-byte pair at spacing 1).
+    wmax = min(S, (2 * S * max_code_len) // 32)
+
+    new_vals = []
+    carry = jnp.zeros((vals[0].shape[0], 1), _U32)
+    for d in range(n):
+        lane0 = 128 * d
+        lane_g = it + lane0                       # static
+        j = lane_g & (M2 - 1)                     # static
+        pidx = lane_g >> (1 + (S.bit_length() - 1))   # (it+128d)//M2, static
+        cc = (lane0 // M2) >> 7                   # single compact chunk
+        a_len = jnp.take_along_axis(a_c[cc], pidx - 128 * cc, axis=1)
+        w = a_len >> 5
+        sh = (a_len & 31)
+        src = lane_g + S - w
+        srcc = src >> 7
+        c_lo = max(0, (lane0 + S - wmax) >> 7)
+        c_hi = min(n - 1, (lane0 + 127 + S) >> 7)
+        braw = jnp.zeros_like(vals[0])
+        for c2 in range(c_lo, c_hi + 1):
+            g = jnp.take_along_axis(vals[c2],
+                                    jnp.clip(src - 128 * c2, 0, 127), axis=1)
+            braw = jnp.where(srcc == c2, g, braw)
+        in_b = (j >= w) & ((j - S) < w)           # src inside the right item
+        brm = jnp.where(in_b, braw, _U32(0))
+        # bprev: value at src-1 == brm one lane earlier (contiguous src
+        # within a pair span; masked zeros give the correct first-word 0)
+        bp = jnp.roll(brm, 1, axis=1)
+        bp = jnp.where(it == 0, jnp.broadcast_to(carry, bp.shape), bp)
+        # j == 0 starts a new pair: the rolled-in value belongs to the
+        # previous pair's spill word — never a valid src-1 (static mask).
+        bp = jnp.where(j == 0, _U32(0), bp)
+        carry = brm[:, 127:128]
+        bsh = _shr_u(brm, sh) | jnp.where(sh == 0, _U32(0),
+                                          _shl_u(bp, (32 - sh) & 31))
+        left = jnp.where(j < S, vals[d], _U32(0))
+        new_vals.append(left | bsh)
+    return new_vals, new_alenc
+
+
+def _expand_lens(alenc, S: int, it, n_chunks: int):
+    """Compact per-item lens -> v1 per-lane lens (item total at every lane
+    of the item's span), for the public encode_tree_chunks contract."""
+    out = []
+    for d in range(n_chunks):
+        idx = (it + 128 * d) // S                 # static
+        cc = ((128 * d) // S) >> 7
+        out.append(jnp.take_along_axis(alenc[cc], idx - 128 * cc, axis=1))
+    return out
+
+
 def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
-                       stop_level: int = 10):
+                       stop_level: int = 10, max_code_len: int = 16):
     """Chunkwise encode of T blocks -> (4 chunks of (T,128) u32, lens).
 
     sym_chunks: 8 chunks of (T, 128) int32 byte symbols (1024 bytes/block,
@@ -152,32 +260,41 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     format's substream encoder stops at 8: four 256-byte substreams per
     row).  At the default 10 the whole 1 KiB block is one stream and the
     returned bits are lens[0][:, 0].
+    max_code_len: static bound on codeword bits (tightens gather spans).
     """
     t = sym_chunks[0].shape[0]
     it = _iota128(t)
 
-    packed = _lut_lookup_chunks(sym_chunks, table_lanes)
-    packed = [jnp.where(it + 128 * c < valid_col, p, 0)
-              for c, p in enumerate(packed)]
-    length8 = [p & 31 for p in packed]
-    val8 = [_safe_shl((p >> 5).astype(_U32), 32 - (p & 31)) for p in packed]
+    # L0: LUT lookup -> per-byte (len, left-aligned code) as 8 chunks.
+    t0 = jnp.broadcast_to(table_lanes[0:1, :], (t, 128))
+    t1 = jnp.broadcast_to(table_lanes[1:2, :], (t, 128))
+    length8, val8 = [], []
+    for c, s in enumerate(sym_chunks):
+        lo = s & 127
+        g0 = jnp.take_along_axis(t0, lo, axis=1)
+        g1 = jnp.take_along_axis(t1, lo, axis=1)
+        p = jnp.where(s < 128, g0, g1)
+        ln = jnp.where(it + 128 * c < valid_col, p & 31, 0)
+        v = _shl_u((p >> 5).astype(_U32), (32 - ln) & 31)
+        val8.append(jnp.where(ln == 0, _U32(0), v))
+        length8.append(ln)
 
-    # L0 -> L1: items (2i, 2i+1) -> 512 items of <= 32 bits, 4 chunks.
-    # Dest chunk d, lane l => item i = 128d + l at bytes 2i, 2i+1.
-    src_a = [jnp.clip((it + 128 * d) * 2, 0, 1023) for d in range(NCHUNK)]
-    src_b = [jnp.clip((it + 128 * d) * 2 + 1, 0, 1023) for d in range(NCHUNK)]
-    a_v = gather_chunks(val8, src_a, 0, LANES)
-    b_v = gather_chunks(val8, src_b, 0, LANES + 1)
-    a_l = gather_chunks(length8, src_a, 0, LANES)
-    b_l = gather_chunks(length8, src_b, 0, LANES + 1)
-    vals = [av | _safe_shr(bv, al)
-            for av, bv, al in zip(a_v, b_v, a_l)]
-    lens = [al + bl for al, bl in zip(a_l, b_l)]
+    # L0 -> L1: byte pairs -> 512 items of <= 32 bits, 4 chunks; the
+    # deinterleave is two static gathers per quantity per dest chunk.
+    a_v = _even_odd(val8, 0, NCHUNK, it)
+    b_v = _even_odd(val8, 1, NCHUNK, it)
+    a_l = _even_odd(length8, 0, NCHUNK, it)
+    b_l = _even_odd(length8, 1, NCHUNK, it)
+    vals = [av | _shr_u(bv, al) for av, bv, al in zip(a_v, b_v, a_l)]
+    alenc = [al + bl for al, bl in zip(a_l, b_l)]  # compact: item i at lane i
 
-    # L1..: in-place doubling merges.  Level k: spacing S = 2^(k-1).
+    n_items = LANES
     for k in range(1, stop_level):
-        vals, lens = merge_level(vals, lens, 1 << (k - 1), it)
+        vals, alenc = merge_level_v2(vals, alenc, n_items, 1 << (k - 1), it,
+                                     max_code_len)
+        n_items //= 2
 
+    lens = _expand_lens(alenc, 1 << (stop_level - 1), it, NCHUNK)
     return vals, lens
 
 
@@ -192,11 +309,12 @@ def encode_tree_body(sym, table_lanes, valid_col):
 
 
 def _encode_kernel(table_ref, valid_ref, sym_ref, out_ref, bits_ref,
-                   *, cap_words: int):
+                   *, cap_words: int, max_code_len: int):
     sym_chunks = [sym_ref[:, c * 128:(c + 1) * 128].astype(jnp.int32)
                   for c in range(8)]
     vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
-                                    valid_ref[:, 0:1])
+                                    valid_ref[:, 0:1],
+                                    max_code_len=max_code_len)
     out_ref[:] = jnp.concatenate(vals, axis=1)[:, :cap_words]
     bits_ref[:] = jnp.broadcast_to(lens[0][:, 0:1], bits_ref.shape)
 
@@ -214,11 +332,11 @@ def pack_table(codes, lengths) -> "jax.Array":
 
 @functools.partial(jax.jit,
                    static_argnames=("capacity_words", "block_tile",
-                                    "interpret"))
+                                    "interpret", "max_code_len"))
 def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          lengths: jax.Array, valid_bytes: jax.Array,
                          capacity_words: int, block_tile: int = 64,
-                         interpret: bool = False):
+                         interpret: bool = False, max_code_len: int = 16):
     """Drop-in twin of ops.encode.encode_blocks on the Pallas path.
 
     byte_blocks: (NB, 1024) uint8 (block_bytes must be 1024 on this path).
@@ -240,7 +358,8 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
         valid_bytes.astype(jnp.int32)[:, None], (grid * t, 128))
 
     out, bits = pl.pallas_call(
-        functools.partial(_encode_kernel, cap_words=capacity_words),
+        functools.partial(_encode_kernel, cap_words=capacity_words,
+                          max_code_len=max_code_len),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i: (0, 0),

@@ -196,7 +196,7 @@ def align_pallas(streams: jax.Array, lens: jax.Array, out_rows: int,
             pl.BlockSpec((r, 128), lambda i, lens: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
             pltpu.VMEM((r + 8, 128), _U32),
             pltpu.VMEM((8, 128), _U32),
@@ -221,7 +221,7 @@ def pack_dense_pallas(block_streams: jax.Array, block_bits: jax.Array,
     the host computes total bits from block_bits and slices).
     """
     nb, cap = block_streams.shape
-    pad = (-nb) % 64
+    pad = (-nb) % 8          # merge8 needs whole rows of 8 blocks
     if pad:
         block_streams = jnp.pad(block_streams, ((0, pad), (0, 0)))
         block_bits = jnp.pad(block_bits, (0, pad))

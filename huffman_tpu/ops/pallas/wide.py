@@ -338,7 +338,7 @@ def decode_wide_pallas(payload: jax.Array, tile_word_off: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec((8, SUB_BYTES * 128 // 4),
                                lambda i, *_: (i, 0),

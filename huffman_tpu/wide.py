@@ -34,6 +34,26 @@ class WideEncoded:
         return (self.payload_words.size * 4) / max(self.n_bytes, 1)
 
 
+def _require_tpu(interpret: bool, what: str) -> None:
+    """The wide kernels use TPU memory spaces; fail clearly elsewhere.
+
+    (The dense path has an XLA fallback via api._pallas_ok; wide is the
+    TPU performance format and has none — interpret=True is the portable
+    escape hatch used by the tests.)
+    """
+    if interpret:
+        return
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "none"
+    if platform != "tpu":
+        raise RuntimeError(
+            f"wide-format {what} requires a TPU device (found "
+            f"'{platform}'); pass interpret=True to run the kernels "
+            f"under the Pallas interpreter, or use the dense format")
+
+
 def _sub_valid(n: int) -> np.ndarray:
     """(NS,) valid byte count per substream for an n-byte stream."""
     nt = max(1, cdiv(n, TILE_BYTES))
@@ -138,6 +158,7 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
     n = arr.size
     if cfg.max_code_len > MAXLEN:
         raise ValueError("wide format requires max_code_len <= 12")
+    _require_tpu(interpret, "encode")
     cb = codebook or Codebook.from_data(arr, cfg.max_code_len)
     nt = max(1, cdiv(n, TILE_BYTES))
     nbb = 1
@@ -163,6 +184,7 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
 def decode_wide(enc: WideEncoded, interpret: bool = False) -> np.ndarray:
     """Decode a wide-format stream on the device."""
     from .ops.pallas.wide import decode_wide_pallas
+    _require_tpu(interpret, "decode")
     cfg = enc.config
     nt = len(enc.tile_words)
     offs = np.concatenate([[0], np.cumsum(enc.tile_words)[:-1]]) \

@@ -74,7 +74,7 @@ def test_align_random():
 
 @pytest.mark.parametrize("n,nsym,capb,seed", [
     (9 * 1024 + 999, 32, 8, 3),
-    (8 * 1024, 256, 16, 4),
+    pytest.param(2 * 1024 + 999, 256, 16, 4, marks=pytest.mark.slow),
 ])
 def test_pack_dense_vs_golden(n, nsym, capb, seed):
     rng = np.random.default_rng(seed)
