@@ -1,21 +1,26 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: device encode throughput (GB/s) of the fused encode pipeline
-(block encode -> offset scan -> bit pack) on a skewed byte stream, the
-TPU equivalent of the reference's 10-run GPU kernel timing loop
-(reference: main_test_cu.cu:117,141-156).  `vs_baseline` is the speedup
-over the single-thread C++ golden encoder (the reference's own oracle,
+Headline: device dense-encode throughput (GB/s) — block encode kernel +
+parallel tile pack — on a skewed byte stream, the TPU equivalent of the
+reference's 10-run GPU kernel timing loop (reference:
+main_test_cu.cu:117,141-156).  `vs_baseline` is the speedup over the
+single-thread C++ golden encoder (the reference's own oracle,
 cpuencode.cpp:13-46) on the same data — the reference records no numbers
 of its own (BASELINE.md), so the oracle is the baseline.
 
-Timing method: the pipeline is run k times inside one jit with a
-data-dependent chain between iterations, for two different k; the per-
-iteration time is the slope.  This cancels dispatch/transfer overhead and
-is immune to async-dispatch timing artifacts (block_until_ready does not
-reliably block through remote-device tunnels).
+The `extra` dict carries the full scoreboard: dense decode, wide encode/
+decode, histogram, and the end-to-end api.encode wall time (including
+host glue + the block-bits sync the container needs anyway).
+
+Timing method: each device stage is run k times inside one jit with a
+data-dependent chain between iterations, for two k values; per-iteration
+time is the slope.  This cancels dispatch/transfer overhead and is immune
+to async-dispatch artifacts (block_until_ready does not reliably block
+through remote-device tunnels).
 
 Env knobs: HUFF_BENCH_MB (input MiB, default 64 on TPU / 8 elsewhere),
-HUFF_BENCH_REPS (slope reps, default 4).
+HUFF_BENCH_REPS (slope reps, default 4), HUFF_BENCH_SKIP (comma list of
+extra stages to skip: decode,wide,hist,e2e).
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ def main() -> None:
     default_mb = 64 if platform == "tpu" else 8
     mb = int(os.environ.get("HUFF_BENCH_MB", default_mb))
     reps = int(os.environ.get("HUFF_BENCH_REPS", 4))
+    skip = set(os.environ.get("HUFF_BENCH_SKIP", "").split(","))
     n = mb * 1024 * 1024
 
     data = make_data(n)
@@ -60,53 +66,153 @@ def main() -> None:
     dc = jax.device_put(jnp.asarray(cb.codes))
     dl = jax.device_put(jnp.asarray(cb.lengths))
     dv = jax.device_put(jnp.asarray(valid))
-
     use_pallas = api._pallas_ok(cfg)
 
-    def chained(k: int):
-        """Run the pipeline k times with a data-dependent chain."""
-        def fn(b, c, l, v):
-            def body(carry, _):
-                bb = b.at[0, 0].set(b[0, 0] ^ (carry & jnp.uint8(1)))
-                if use_pallas:
-                    stream, block_bits = api.encode_pipeline_pallas(
-                        bb, c, l, v, cfg.capacity_words)
-                else:
-                    stream, block_bits, _off = api.encode_pipeline(
-                        bb, c, l, v, cfg.capacity_words)
-                nxt = stream[0].astype(jnp.uint8)
-                return nxt, block_bits[0]
-            carry, outs = jax.lax.scan(body, jnp.uint8(0), None, length=k)
-            return carry, outs
-        return jax.jit(fn)
+    def slope_time(make_fn):
+        """make_fn(k) -> callable returning a scalar-able array; slope s."""
+        def run(f):
+            t0 = time.perf_counter()
+            out = f()
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+            return time.perf_counter() - t0
+        f1, f2 = make_fn(1), make_fn(1 + reps)
+        run(f1); run(f2)
+        t1 = min(run(f1) for _ in range(2))
+        t2 = min(run(f2) for _ in range(2))
+        return max((t2 - t1) / reps, 1e-9)
 
-    def run_sync(f):
-        t0 = time.perf_counter()
-        carry, outs = f(db, dc, dl, dv)
-        _ = int(np.asarray(carry))      # forces full sync
-        return time.perf_counter() - t0
+    extra = {}
 
-    k_lo, k_hi = 1, 1 + reps
-    f_lo, f_hi = chained(k_lo), chained(k_hi)
-    run_sync(f_lo)                      # compile
-    run_sync(f_hi)                      # compile
-    t_lo = min(run_sync(f_lo) for _ in range(2))
-    t_hi = min(run_sync(f_hi) for _ in range(2))
-    per_iter = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    # ---------------- dense encode (headline) -------------------------
+    if use_pallas:
+        from huffman_tpu.ops.pallas.encode import encode_blocks_pallas
+        from huffman_tpu.ops.pallas.pack2 import (_pack_prepared,
+                                                  pack_dense_parallel,
+                                                  TILE_WORDS, _bucket_pow2)
+        cap = ((cfg.capacity_words + 127) // 128) * 128
+
+        def mk_encode(k):
+            @jax.jit
+            def fn():
+                def body(carry, _):
+                    bb = db.at[0, 0].set(carry)
+                    out, bits = encode_blocks_pallas(
+                        bb, dc, dl, dv, cap,
+                        max_code_len=cfg.max_code_len)
+                    return out[0, 0].astype(jnp.uint8), bits[0]
+                c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
+                return c
+            return fn
+        t_enc = slope_time(mk_encode)
+
+        streams, bits_dev = jax.block_until_ready(encode_blocks_pallas(
+            db, dc, dl, dv, cap, max_code_len=cfg.max_code_len))
+        bits_host = np.asarray(bits_dev)
+        bits64 = bits_host.astype(np.int64)
+        total_words = int((bits64.sum() + 31) // 32)
+        nz = bits64[bits64 > 0]
+        min_int = int(nz[:-1].min()) if nz.size > 1 else TILE_WORDS * 32
+        k_need = min(TILE_WORDS * 32 // max(min_int, 1024) + 4, 40)
+        k_max = 6
+        while k_max < k_need:
+            k_max = min(k_max * 2, 40)
+        n_tiles = _bucket_pow2(max(total_words, 1) // TILE_WORDS + 1, 8)
+        d_bits = jax.device_put(jnp.asarray(bits_host.astype(np.int32)))
+        d_streams = jax.device_put(streams)
+
+        def mk_pack(k):
+            @jax.jit
+            def fn():
+                def body(carry, _):
+                    s = d_streams.at[0, 0].set(carry)
+                    o = _pack_prepared(s, d_bits, n_tiles, k_max, cap)
+                    return o[0, 0], o[0, 1]
+                c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=k)
+                return c
+            return fn
+        t_pack = slope_time(mk_pack)
+        per_iter = t_enc + t_pack
+        extra["encode_kernel_gbps"] = round(n / t_enc / 1e9, 2)
+        extra["pack_kernel_gbps"] = round(n / t_pack / 1e9, 2)
+    else:
+        def mk_pipe(k):
+            @jax.jit
+            def fn():
+                def body(carry, _):
+                    bb = db.at[0, 0].set(carry)
+                    stream, bits, _o = api.encode_pipeline(
+                        bb, dc, dl, dv, cfg.capacity_words)
+                    return stream[0].astype(jnp.uint8), bits[0]
+                c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
+                return c
+            return fn
+        per_iter = slope_time(mk_pipe)
     gbps = n / per_iter / 1e9
 
-    # Golden C++ oracle on the same data (sequential; the baseline).
-    sl = slice(0, min(n, 8 * 1024 * 1024))   # cap oracle time
+    # ---------------- golden oracle baseline --------------------------
+    sl = slice(0, min(n, 8 * 1024 * 1024))
     t0 = time.perf_counter()
-    _, ref_bits = golden.encode(data[sl], cb)
-    t_gold = time.perf_counter() - t0
-    gold_gbps = (sl.stop - sl.start) / t_gold / 1e9
+    _, _rb = golden.encode(data[sl], cb)
+    gold_gbps = (sl.stop - sl.start) / (time.perf_counter() - t0) / 1e9
 
-    # Correctness gate: the benchmarked pipeline must be bit-exact.
+    # ---------------- correctness gate --------------------------------
     enc = api.encode(data[: 4 * 1024 * 1024], cfg, codebook=cb)
     gold_bytes, gold_total = golden.encode(data[: 4 * 1024 * 1024], cb)
     exact = (enc.total_bits == gold_total
              and bytes(enc.stream_bytes) == bytes(gold_bytes))
+
+    # ---------------- extras: e2e, decode, wide, histogram ------------
+    if "e2e" not in skip:
+        t0 = time.perf_counter()
+        api.encode(data, cfg, codebook=cb)
+        extra["encode_e2e_gbps"] = round(n / (time.perf_counter() - t0) / 1e9,
+                                         3)
+
+    if "hist" not in skip:
+        from huffman_tpu.ops import histogram as hist_ops
+
+        def mk_hist(k):
+            @jax.jit
+            def fn():
+                def body(carry, _):
+                    bb = db.at[0, 0].set(carry)
+                    h = hist_ops.histogram_onehot(bb, n_valid=n_real)
+                    return bb[0, 0] ^ h[0].astype(jnp.uint8), h[0]
+                c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
+                return c
+            return fn
+        try:
+            t_h = slope_time(mk_hist)
+            extra["hist_gbps"] = round(n / t_h / 1e9, 2)
+        except Exception as e:  # pragma: no cover
+            extra["hist_error"] = str(e)[:80]
+
+    if "decode" not in skip and use_pallas:
+        try:
+            from huffman_tpu import wide as wide_mod
+            sub = data[: 16 * 1024 * 1024]
+            t0 = time.perf_counter()
+            wenc = wide_mod.encode_wide(sub, cfg, codebook=cb)
+            extra["wide_encode_e2e_gbps"] = round(
+                len(sub) / (time.perf_counter() - t0) / 1e9, 3)
+            t0 = time.perf_counter()
+            out = wide_mod.decode_wide(wenc)
+            extra["wide_decode_e2e_gbps"] = round(
+                len(sub) / (time.perf_counter() - t0) / 1e9, 3)
+            extra["wide_roundtrip_ok"] = bool(np.array_equal(out, sub))
+            extra["wide_ratio"] = round(float(wenc.ratio), 4)
+        except Exception as e:  # pragma: no cover
+            extra["wide_error"] = str(e)[:120]
+        try:
+            sub_enc = api.encode(data[: 4 * 1024 * 1024], cfg, codebook=cb)
+            t0 = time.perf_counter()
+            dec = api.decode(sub_enc)
+            extra["dense_decode_e2e_gbps"] = round(
+                (4 * 1024 * 1024) / (time.perf_counter() - t0) / 1e9, 4)
+            extra["dense_decode_ok"] = bool(
+                np.array_equal(dec, data[: 4 * 1024 * 1024]))
+        except Exception as e:  # pragma: no cover
+            extra["dense_decode_error"] = str(e)[:120]
 
     record = {
         "metric": "encode_throughput",
@@ -118,10 +224,12 @@ def main() -> None:
         "golden_cpu_gbps": round(gold_gbps, 3),
         "bit_exact": bool(exact),
         "iter_ms": round(per_iter * 1e3, 3),
+        "extra": extra,
     }
     try:
         StatsLogger().log_rate("encode", n / 1e6, per_iter * 1e3,
-                               platform=platform, vs_baseline=record["vs_baseline"])
+                               platform=platform,
+                               vs_baseline=record["vs_baseline"])
     except Exception:
         pass
     print(json.dumps(record))

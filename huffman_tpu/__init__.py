@@ -24,12 +24,25 @@ Layer map (mirrors SURVEY.md section 1's L1-L6, TPU-first):
 import os as _os
 
 # Persistent XLA/Mosaic compilation cache: the Pallas kernels take minutes
-# to compile on TPU (one-time); cached executables load in <1s.  Set
-# before jax import; jax reads the env var lazily at first compile.
+# to compile on TPU (one-time); cached executables load in <1s.  The env
+# var alone is ignored by current jax — set the config explicitly.
 _os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     _os.path.join(_os.path.expanduser("~"), ".cache", "huffman_tpu_jax"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax as _jax
+
+for _opt, _val in (
+        ("jax_compilation_cache_dir",
+         _os.environ["JAX_COMPILATION_CACHE_DIR"]),
+        ("jax_persistent_cache_min_compile_time_secs", 1.0),
+        ("jax_persistent_cache_min_entry_size_bytes", 0),
+):
+    try:
+        _jax.config.update(_opt, _val)
+    except Exception:  # pragma: no cover - option renamed/removed upstream
+        pass
 
 from .config import CodecConfig, DEFAULT_CONFIG, NUM_SYMBOLS
 from .codebook import Codebook, entropy_bits_per_byte, byte_histogram_host

@@ -127,16 +127,20 @@ def _bucket_blocks(nb: int) -> int:
 
 def encode_pipeline_pallas(byte_blocks, codes, lengths, valid_bytes,
                            capacity_words: int, interpret: bool = False,
-                           bucket: bool = True):
-    """Mosaic-kernel pipeline: tree-concat encode + merge/align pack.
+                           bucket: bool = True, max_code_len: int = 16):
+    """Mosaic-kernel pipeline: tree-concat encode + parallel tile pack.
 
-    Same outputs as encode_pipeline's (stream, block_bits) but ~150x
-    faster on TPU (XLA lowers the gather/scatter formulation to ~0.02 GB/s
-    there).  capacity_words is rounded up to a lane-chunk multiple of 128;
+    Same outputs as encode_pipeline's (stream, block_bits) but orders of
+    magnitude faster on TPU (XLA lowers the gather/scatter formulation to
+    ~0.02 GB/s there).  Two phases with one host sync between: the block
+    encode kernel, then — with the per-block bit counts on host (also
+    needed for the overflow check and the container header) — the pack
+    kernel at the OPTIMAL static tile count and coverage bucket.
+    capacity_words is rounded up to a lane-chunk multiple of 128;
     block_bits is returned for the REAL (unpadded) block count.
     """
     from .ops.pallas.encode import encode_blocks_pallas
-    from .ops.pallas.pack import pack_dense_pallas
+    from .ops.pallas.pack2 import pack_dense_parallel
     cap = cdiv(capacity_words, 128) * 128
     nb = byte_blocks.shape[0]
     nbb = _bucket_blocks(nb) if bucket else nb
@@ -144,9 +148,11 @@ def encode_pipeline_pallas(byte_blocks, codes, lengths, valid_bytes,
         byte_blocks = jnp.pad(byte_blocks, ((0, nbb - nb), (0, 0)))
         valid_bytes = jnp.pad(valid_bytes, (0, nbb - nb))
     packed, block_bits = encode_blocks_pallas(
-        byte_blocks, codes, lengths, valid_bytes, cap, interpret=interpret)
-    stream = pack_dense_pallas(packed, block_bits, interpret=interpret)
-    return stream, block_bits[:nb]
+        byte_blocks, codes, lengths, valid_bytes, cap, interpret=interpret,
+        max_code_len=max_code_len)
+    bits_host = np.asarray(block_bits)
+    stream = pack_dense_parallel(packed, bits_host, interpret=interpret)
+    return stream, bits_host[:nb]
 
 
 def build_codebook(data, cfg: CodecConfig = DEFAULT_CONFIG,
@@ -190,7 +196,8 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
     if _pallas_ok(cfg):
         stream, block_bits = encode_pipeline_pallas(
             jnp.asarray(blocks), jnp.asarray(cb.codes),
-            jnp.asarray(cb.lengths), jnp.asarray(valid), cfg.capacity_words)
+            jnp.asarray(cb.lengths), jnp.asarray(valid), cfg.capacity_words,
+            max_code_len=cfg.max_code_len)
     else:
         stream, block_bits, _offsets = encode_pipeline(
             jnp.asarray(blocks), jnp.asarray(cb.codes),

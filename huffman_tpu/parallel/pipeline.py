@@ -63,6 +63,13 @@ def histogram_sharded(mesh: Mesh):
     return jax.jit(_hist)
 
 
+def _use_pallas_default() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
 def encode_step(mesh: Mesh, capacity_words: int):
     """Build the jitted sharded encode step (the 'full training step').
 
@@ -76,6 +83,11 @@ def encode_step(mesh: Mesh, capacity_words: int):
       shard_words[s]: words the shard actually uses in its buffer.
     The global histogram rides along (psum), so one step touches every
     collective the codec needs — this is what dryrun_multichip compiles.
+
+    This one-shot XLA variant stays for the CPU-mesh tests and the
+    multichip dry run; the TPU path is the two-phase
+    encode_phase1/pack_phase2 used by ShardedCodec.encode, which swaps in
+    the Mosaic kernels.
     """
 
     @functools.partial(
@@ -121,6 +133,94 @@ def encode_step(mesh: Mesh, capacity_words: int):
                 used_words[None].astype(jnp.int32), hist)
 
     return jax.jit(_step)
+
+
+def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
+                  max_code_len: int = 16):
+    """Sharded phase 1: psum histogram + block encode + shard scan base.
+
+    On TPU the per-shard block encode is the Mosaic tree kernel
+    (ops/pallas/encode.py) running INSIDE shard_map; elsewhere the XLA
+    twin.  Returns (block_streams sharded, bits sharded, shard_word,
+    shard_shift, hist) — the pack runs in phase 2 so the host can pick
+    optimal static tile/coverage buckets from the bit counts it needs to
+    fetch anyway (overflow check + container header).
+    """
+    cap = cdiv(capacity_words, 128) * 128 if use_pallas else capacity_words
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                   P()))
+    def _p1(blocks_loc, valid_loc, codes, lengths):
+        nv = jnp.sum(valid_loc.astype(jnp.int32))
+        hist = jax.lax.psum(
+            hist_ops.histogram_onehot(blocks_loc, n_valid=nv), DATA_AXIS)
+        if use_pallas:
+            from ..ops.pallas.encode import encode_blocks_pallas
+            packed, bits = encode_blocks_pallas(
+                blocks_loc, codes, lengths, valid_loc, cap,
+                max_code_len=max_code_len)
+        else:
+            packed, bits = encode_ops.encode_blocks(
+                blocks_loc, codes, lengths, valid_loc, cap)
+        w = bits >> 5
+        r = bits & 31
+        base_w, base_r, _, _ = _shard_exclusive_base(
+            jnp.sum(w), jnp.sum(r), DATA_AXIS)
+        shard_word = base_w + (base_r >> 5)
+        shard_shift = base_r & 31
+        return (packed, bits, shard_word[None], shard_shift[None], hist)
+
+    return jax.jit(_p1)
+
+
+def pack_phase2(mesh: Mesh, n_tiles: int, k_max: int, cap: int,
+                use_pallas: bool):
+    """Sharded phase 2: per-shard bit-pack at local offsets.
+
+    Each shard packs its own slice of the dense stream, pre-shifted by its
+    global bit offset (shard_shift), so host assembly is a pure OR of
+    slices with one shared seam word per boundary.  TPU: the parallel
+    tile-pack kernel (ops/pallas/pack2.py) with host-bucketed static
+    (n_tiles, k_max); elsewhere: the XLA scatter pack.
+    """
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
+    def _p2(streams_loc, bits_loc, shift_loc):
+        nb_loc = streams_loc.shape[0]
+        shard_shift = shift_loc[0]
+        bits = bits_loc.astype(jnp.int32)
+        w = bits >> 5
+        r = bits & 31
+        cw = jnp.cumsum(w)
+        cr = jnp.cumsum(r)
+        ex_w = cw - w
+        ex_r = cr - r + shard_shift
+        word_base_loc = ex_w + (ex_r >> 5)
+        bit_shift_loc = ex_r & 31
+        if use_pallas:
+            from ..ops.pallas.pack2 import TILE_WORDS, pack_tiles_pallas
+            aux = (bits << 5) | bit_shift_loc
+            tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE_WORDS
+            f = jnp.searchsorted(word_base_loc, tile_starts, side="left",
+                                 method="sort").astype(jnp.int32)
+            f = jnp.maximum(f - 1, 0)
+            stream_loc = pack_tiles_pallas(
+                streams_loc, word_base_loc, aux, f, n_tiles, k_max,
+                cap).reshape(-1)
+        else:
+            stream_loc = pack_ops.pack_at_offsets(
+                streams_loc, word_base_loc, bit_shift_loc,
+                nb_loc * cap + 1)
+        used = (shard_shift + cw[-1] * 32 + cr[-1] + 31) >> 5
+        return stream_loc[None, :], used[None].astype(jnp.int32)
+
+    return jax.jit(_p2)
 
 
 def assemble_dense(shard_streams: np.ndarray, shard_word_base: np.ndarray,
@@ -169,26 +269,61 @@ class ShardedCodec:
         bs = NamedSharding(self.mesh, P(DATA_AXIS))
         return (jax.device_put(blocks, bs), jax.device_put(valid, bs))
 
-    def encode(self, data, codebook: Codebook | None = None):
-        """Full sharded encode returning a single-chip-identical Encoded."""
+    def encode(self, data, codebook: Codebook | None = None,
+               use_pallas: bool | None = None):
+        """Full sharded encode returning a single-chip-identical Encoded.
+
+        Two phases with one host sync between (the per-block bit counts
+        are needed on host for the overflow check and the container header
+        regardless): phase 1 = psum histogram + block encode + shard scan
+        base; phase 2 = per-shard pack at optimal host-bucketed tile
+        shapes.  use_pallas defaults to platform auto-detect: the Mosaic
+        kernels on TPU, the XLA twins elsewhere (CPU-mesh tests).
+        """
         from ..api import Encoded
+        if use_pallas is None:
+            use_pallas = _use_pallas_default()
+        cfg = self.cfg
         blocks, valid, n = self.prepare(data)
         d_blocks, d_valid = self.shard_inputs(blocks, valid)
         if codebook is None:
             hist = np.asarray(histogram_sharded(self.mesh)(d_blocks, d_valid))
-            codebook = Codebook.from_frequencies(hist, self.cfg.max_code_len)
-        step = encode_step(self.mesh, self.cfg.capacity_words)
-        streams, bits, word_base, used, _hist = step(
+            codebook = Codebook.from_frequencies(hist, cfg.max_code_len)
+        p1 = encode_phase1(self.mesh, cfg.capacity_words, use_pallas,
+                           cfg.max_code_len)
+        streams, bits_dev, shard_word, shard_shift, _hist = p1(
             d_blocks, d_valid, jnp.asarray(codebook.codes),
             jnp.asarray(codebook.lengths))
-        bits = np.asarray(bits)
-        if self.cfg.check_overflow and (
-                bits > self.cfg.capacity_words * 32).any():
+        bits = np.asarray(bits_dev)
+        if cfg.check_overflow and (bits > cfg.capacity_words * 32).any():
             raise OverflowError("block overflowed capacity; raise "
                                 "config.capacity_bits_per_byte")
         total_bits = int(bits.astype(np.int64).sum())
-        stream = assemble_dense(np.asarray(streams), np.asarray(word_base),
-                                np.asarray(used), cdiv(total_bits, 32))
+        cap = streams.shape[1]
+
+        # Host-side static buckets shared by every shard (max over shards).
+        ndev = self.mesh.devices.size
+        bits64 = bits.astype(np.int64).reshape(ndev, -1)
+        shift_h = np.asarray(shard_shift).reshape(-1)
+        if use_pallas:
+            from ..ops.pallas.pack2 import TILE_WORDS, _bucket_pow2
+            shard_words = (bits64.sum(axis=1) + shift_h + 31) // 32
+            n_tiles = _bucket_pow2(int(shard_words.max()) // TILE_WORDS + 1,
+                                   8)
+            nz = bits64.reshape(-1)
+            nz = nz[nz > 0]
+            min_int = int(nz[:-1].min()) if nz.size > 1 else TILE_WORDS * 32
+            k_need = min(TILE_WORDS * 32 // max(min_int, 1024) + 4, 40)
+            k_max = 6
+            while k_max < k_need:
+                k_max = min(k_max * 2, 40)
+        else:
+            n_tiles, k_max = 1, 1   # unused by the XLA body
+        p2 = pack_phase2(self.mesh, n_tiles, k_max, cap, use_pallas)
+        shard_streams, used = p2(streams, bits_dev, shard_shift)
+        stream = assemble_dense(np.asarray(shard_streams),
+                                np.asarray(shard_word), np.asarray(used),
+                                cdiv(total_bits, 32))
         return Encoded(stream_words=stream, total_bits=total_bits,
                        block_bits=bits, codebook=codebook, n_bytes=n,
                        config=self.cfg)
