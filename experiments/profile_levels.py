@@ -110,7 +110,8 @@ def main():
         return max((t2 - t1) / reps, 1e-9)
 
     prev = None
-    for sl in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+    import os as _os
+    for sl in [int(x) for x in _os.environ.get("HUFF_LEVELS", "1,4,7,10").split(",")]:
         tt = slope(sl)
         d = None if prev is None else round((tt - prev) * 1e3, 3)
         print(json.dumps({"stop_level": sl, "ms": round(tt * 1e3, 3),

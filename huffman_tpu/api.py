@@ -125,6 +125,47 @@ def _bucket_blocks(nb: int) -> int:
     return b
 
 
+# Streaming-encode chunk: 16 MiB of input per device stage.  Large inputs
+# are fed chunk by chunk — the async H2D copy of chunk i+1 overlaps the
+# encode kernel of chunk i (the TPU analogue of the reference's
+# dual-stream double-buffered histogram feed, hist.cu:89-108) — and every
+# chunk reuses ONE compiled kernel shape, capping pow2-bucket padding
+# waste at one chunk.
+CHUNK_BLOCKS = 16384
+
+
+def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
+                           max_code_len: int):
+    """Pipelined host->device staging + per-chunk encode kernels.
+
+    blocks/valid are HOST arrays; returns (device streams (nbb, cap//...),
+    host bits (nbb,)) with nbb padded to a chunk multiple.
+    """
+    from .ops.pallas.encode import encode_blocks_pallas
+    nb = blocks.shape[0]
+    nbb = cdiv(nb, CHUNK_BLOCKS) * CHUNK_BLOCKS
+    dc = jnp.asarray(codes)
+    dl = jnp.asarray(lengths)
+    parts = []
+    for i in range(0, nbb, CHUNK_BLOCKS):
+        hb = blocks[i: i + CHUNK_BLOCKS]
+        hv = valid[i: i + CHUNK_BLOCKS]
+        if hb.shape[0] < CHUNK_BLOCKS:
+            hb = np.concatenate(
+                [hb, np.zeros((CHUNK_BLOCKS - hb.shape[0], hb.shape[1]),
+                              np.uint8)])
+            hv = np.concatenate(
+                [hv, np.zeros(CHUNK_BLOCKS - hv.shape[0], np.int32)])
+        db = jnp.asarray(hb)          # async H2D, overlaps prior kernel
+        dv = jnp.asarray(hv)
+        parts.append(encode_blocks_pallas(
+            db, dc, dl, dv, cap, max_code_len=max_code_len))
+    streams = (jnp.concatenate([s for s, _ in parts])
+               if len(parts) > 1 else parts[0][0])
+    bits = np.concatenate([np.asarray(b) for _, b in parts])
+    return streams, bits
+
+
 def encode_pipeline_pallas(byte_blocks, codes, lengths, valid_bytes,
                            capacity_words: int, interpret: bool = False,
                            bucket: bool = True, max_code_len: int = 16):
@@ -194,10 +235,19 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
         raise ValueError("input contains symbols absent from the codebook")
     valid = valid_per_block(n, blocks.shape[0], cfg.block_bytes)
     if _pallas_ok(cfg):
-        stream, block_bits = encode_pipeline_pallas(
-            jnp.asarray(blocks), jnp.asarray(cb.codes),
-            jnp.asarray(cb.lengths), jnp.asarray(valid), cfg.capacity_words,
-            max_code_len=cfg.max_code_len)
+        if blocks.shape[0] > CHUNK_BLOCKS:
+            # big input: chunked staging overlaps H2D with encode compute
+            from .ops.pallas.pack2 import pack_dense_parallel
+            cap = cdiv(cfg.capacity_words, 128) * 128
+            streams, bits_all = _encode_blocks_chunked(
+                blocks, valid, cb.codes, cb.lengths, cap, cfg.max_code_len)
+            stream = pack_dense_parallel(streams, bits_all)
+            block_bits = bits_all[: blocks.shape[0]]
+        else:
+            stream, block_bits = encode_pipeline_pallas(
+                jnp.asarray(blocks), jnp.asarray(cb.codes),
+                jnp.asarray(cb.lengths), jnp.asarray(valid),
+                cfg.capacity_words, max_code_len=cfg.max_code_len)
     else:
         stream, block_bits, _offsets = encode_pipeline(
             jnp.asarray(blocks), jnp.asarray(cb.codes),
@@ -222,11 +272,15 @@ def decode(enc: Encoded) -> np.ndarray:
     cfg = enc.config
     valid = valid_per_block(enc.n_bytes, len(enc.block_bits),
                             cfg.block_bytes)
-    # NOTE: dense-format decode has no Mosaic kernel: per-block windows
-    # need word-granular HBM DMA, but TPU DMA slices are 8-row (1024-word)
-    # granular (see ops/pallas/decode.py).  The fast device decode path is
-    # the wide (interleaved) container format; this dense path is the
-    # bit-compatible fallback.
+    # NOTE: dense-format decode has no Mosaic kernel BY DESIGN: each of
+    # the 1024 parallel lanes would need its own window at an arbitrary
+    # word offset in the dense stream, which on TPU means either per-lane
+    # DMAs (~4k/tile) or full-depth in-VMEM gathers — both measured or
+    # estimated at <= ~1 GB/s, i.e. no better than the wide format already
+    # delivers with uniform-cursor refills.  The fast device decode path
+    # is the WIDE (interleaved) container (wide.py / ops/pallas/wide.py,
+    # built precisely so the vector reader's refill is one aligned DMA);
+    # this dense path is the bit-compatible XLA fallback.
     from .ops.scan import exclusive_bit_offsets
     offsets = exclusive_bit_offsets(jnp.asarray(enc.block_bits, jnp.int32))
     syms, lens = enc.codebook.decode_table(cfg.decode_table_bits)
@@ -237,31 +291,6 @@ def decode(enc: Encoded) -> np.ndarray:
         jnp.asarray(stream), offsets.word_base, offsets.bit_shift,
         jnp.asarray(valid), jnp.asarray(syms), jnp.asarray(lens),
         cfg.block_bytes, cfg.decode_table_bits)
-    return np.asarray(out).reshape(-1)[: enc.n_bytes]
-
-
-def _decode_pallas(enc: Encoded, valid: np.ndarray) -> np.ndarray:
-    """Mosaic decode path: per-block cursors from host scan, bucketed NB."""
-    from .ops.pallas.decode import decode_blocks_pallas
-    cfg = enc.config
-    bits = enc.block_bits.astype(np.int64)
-    starts = np.concatenate([[0], np.cumsum(bits)[:-1]])
-    word_base = (starts >> 5).astype(np.int32)
-    bit_shift = (starts & 31).astype(np.int32)
-    nb = len(bits)
-    nbb = 1024                      # decode tiles are 1024 blocks
-    while nbb < nb:
-        nbb *= 2
-    pad = nbb - nb
-    tb = cfg.decode_table_bits
-    syms, lens = enc.codebook.decode_table(tb)
-    entries = (syms.astype(np.int32) << 5) | lens.astype(np.int32)
-    out = decode_blocks_pallas(
-        jnp.asarray(enc.stream_words),
-        jnp.asarray(np.pad(word_base, (0, pad))),
-        jnp.asarray(np.pad(bit_shift, (0, pad))),
-        jnp.asarray(np.pad(valid.astype(np.int32), (0, pad))),
-        jnp.asarray(entries), tb)
     return np.asarray(out).reshape(-1)[: enc.n_bytes]
 
 

@@ -36,100 +36,108 @@ TILE_WORDS = 1024          # output tile: 8 rows of 128 words
 TILE_ROWS = 8
 
 
-def _extract_i32(window16, p, flat16):
-    """Scalar window16[p] from a (16,128) int32 value (flat row-major)."""
-    return jnp.sum(jnp.where(flat16 == p, window16, 0))
-
-
 def _seg_rows(cap_words: int, k_max: int) -> int:
-    """Stream-window rows needed: K+1 blocks of cap/128 rows each + 8 pad."""
-    r = (cap_words // 128) * (k_max + 1) + 8
-    return r + (-r) % 8
+    """Stream-window rows: k_max blocks, each padded to 8 physical rows.
+
+    Blocks are staged at a fixed 8-row (1024-word) stride regardless of
+    cap_words so every window start f*8 is 8-row aligned — TPU DMA row
+    slices must be provably 8-row granular (Mosaic rejects unproven
+    dynamic starts).
+    """
+    return TILE_ROWS * k_max
 
 
-def _pack_kernel(f_ref, wrow_ref, metaw_a, metaw_b, metax_a, metax_b,
-                 streams_hbm, out_ref, win_ref, sems, *, k_max: int,
-                 cap_words: int, n_tiles: int):
+_MW = 2048        # meta SMEM window: 1024-aligned, covers f..f+K
+
+
+def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
+                 out_ref, win_ref, mw_ref, mx_ref, acc_ref, sems, *,
+                 k_max: int, cap_words: int, n_tiles: int):
     g = pl.program_id(0)
-    cap_rows = cap_words // 128
     wrows = _seg_rows(cap_words, k_max)
 
-    # -- double-buffered window DMA (stream rows at arbitrary row offset) --
-    def win_copy(step, slot):
-        return pltpu.make_async_copy(
-            streams_hbm.at[pl.ds(wrow_ref[step], wrows)],
-            win_ref.at[pl.ds(slot * wrows, wrows)],
-            sems.at[slot])
+    # -- double-buffered DMAs: stream window (VMEM) + meta windows (SMEM).
+    # Meta values are read as SMEM scalars — a vector->scalar reduce per
+    # segment (the v1 approach) costs ~100x more.  Dynamic DMA starts
+    # carry explicit divisibility proofs (pl.multiple_of): 8 rows for the
+    # 2-D stream window, 1024 elements for the 1-D meta windows.
+    def copies(step, slot):
+        a0 = pl.multiple_of((f_ref[step] >> 10) << 10, 1024)
+        r0 = pl.multiple_of(wrow_ref[step], TILE_ROWS)
+        return (
+            pltpu.make_async_copy(
+                streams_hbm.at[pl.ds(r0, wrows)],
+                win_ref.at[pl.ds(slot * wrows, wrows)], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                metaw_hbm.at[pl.ds(a0, _MW)],
+                mw_ref.at[pl.ds(slot * _MW, _MW)], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                metax_hbm.at[pl.ds(a0, _MW)],
+                mx_ref.at[pl.ds(slot * _MW, _MW)], sems.at[slot, 2]),
+        )
 
     @pl.when(g == 0)
     def _():
-        win_copy(0, 0).start()
+        for c in copies(0, 0):
+            c.start()
 
     @pl.when(g + 1 < n_tiles)
     def _():
-        win_copy(g + 1, (g + 1) % 2).start()
+        for c in copies(g + 1, (g + 1) % 2):
+            c.start()
 
-    win_copy(g, g % 2).wait()
-    win = win_ref[pl.ds((g % 2) * wrows, wrows)]
+    for c in copies(g, g % 2):
+        c.wait()
+    slot = g % 2
+    win = win_ref[pl.ds(pl.multiple_of(slot * wrows, TILE_ROWS), wrows)]
 
-    # -- per-segment meta scalars ----------------------------------------
-    # meta element b lives at flat position b - 1024*A0 across the two
-    # (8,128) meta blocks (A0 = (f>>10) from the index map).
     f = f_ref[g]
-    base = (f >> 10) << 10
-    p0 = f - base
-    flat16 = (jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) * 128
-              + jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1))
-    metaw = jnp.concatenate([metaw_a[:], metaw_b[:]], axis=0)
-    metax = jnp.concatenate([metax_a[:], metax_b[:]], axis=0)
-
+    p0 = slot * _MW + (f - ((f >> 10) << 10))
     row_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
     flat = row_i * 128 + lane
     tile_w0 = g * TILE_WORDS
 
-    acc = jnp.zeros((TILE_ROWS, 128), _U32)
+    acc_ref[:] = jnp.zeros((TILE_ROWS, 128), _U32)
     for k in range(k_max):
-        wb = _extract_i32(metaw, p0 + k, flat16)       # block start word
-        ax = _extract_i32(metax, p0 + k, flat16)       # bits<<5 | shift
+        wb = mw_ref[p0 + k]                            # block start word
+        ax = mx_ref[p0 + k]                            # bits<<5 | shift
         sh = ax & 31
         bits = ax >> 5
-        nw = (sh + bits + 31) >> 5                     # live shifted words
-        nw = jnp.where(bits == 0, 0, nw)
+        nw = jnp.where(bits == 0, 0, (sh + bits + 31) >> 5)
         dw = wb - tile_w0                              # in [-cap, 1024)
 
-        # the block's stream: cap_rows rows at window offset k*cap_rows
-        # (window starts at block f, cap_rows rows per block), padded to
-        # the 8-row tile space so the flat rotation below is mod 1024
-        s = win[k * cap_rows:(k + 1) * cap_rows]
-        pad = (jnp.concatenate(
-            [s, jnp.zeros((TILE_ROWS - cap_rows, 128), _U32)], axis=0)
-            if cap_rows < TILE_ROWS else s)
+        @pl.when((nw > 0) & (dw < TILE_WORDS) & (dw + nw > 0))
+        def _():
+            # the block's stream: 8 physical rows at window offset k*8
+            # (zero-padded past cap_words at staging time, so the flat
+            # rotation below is mod 1024 over real zeros)
+            pad = win[k * TILE_ROWS:(k + 1) * TILE_ROWS]
 
-        # bit-shift right by sh (MSB-first stream): word j gets
-        # (s[j] >> sh) | (s[j-1] << (32-sh))
-        pv = jnp.roll(pad, 1, axis=1)
-        prow = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 0)
-        plan = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 1)
-        pv = jnp.where(plan == 0, jnp.roll(pv, 1, axis=0), pv)
-        pv = jnp.where((plan == 0) & (prow == 0), _U32(0), pv)
-        xs = _shr_u(pad, sh) | jnp.where(sh == 0, _U32(0),
-                                         _shl_u(pv, (32 - sh) & 31))
+            # bit-shift right by sh (MSB-first stream): word j gets
+            # (s[j] >> sh) | (s[j-1] << (32-sh))
+            pv = jnp.roll(pad, 1, axis=1)
+            prow = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 0)
+            plan = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 1)
+            pv = jnp.where(plan == 0, jnp.roll(pv, 1, axis=0), pv)
+            pv = jnp.where((plan == 0) & (prow == 0), _U32(0), pv)
+            xs = _shr_u(pad, sh) | jnp.where(sh == 0, _U32(0),
+                                             _shl_u(pv, (32 - sh) & 31))
 
-        # place at word offset dw within the tile: flat-rotate right by
-        # dw mod 1024 over the (8,128) row-major layout, then mask the
-        # live range [dw, dw+nw).
-        rot = (dw + 2048) & (TILE_WORDS - 1)
-        rl = rot & 127
-        rr = rot >> 7
-        a = jnp.take_along_axis(xs, (lane - rl) & 127, axis=1)
-        b = jnp.roll(a, 1, axis=0)
-        moved = jnp.where(lane >= rl, a, b)            # lane part w/ borrow
-        rows_idx = (row_i - rr + 2 * TILE_ROWS) & (TILE_ROWS - 1)
-        contrib = jnp.take_along_axis(moved, rows_idx, axis=0)
-        live = (flat >= dw) & (flat < dw + nw)
-        acc = acc | jnp.where(live, contrib, _U32(0))
-    out_ref[:] = acc
+            # place at word offset dw within the tile: flat-rotate right
+            # by dw mod 1024 over the (8,128) row-major layout, then mask
+            # the live range [dw, dw+nw).
+            rot = (dw + 2048) & (TILE_WORDS - 1)
+            rl = rot & 127
+            rr = rot >> 7
+            a = jnp.take_along_axis(xs, (lane - rl) & 127, axis=1)
+            b = jnp.roll(a, 1, axis=0)
+            moved = jnp.where(lane >= rl, a, b)        # lane part w/ borrow
+            rows_idx = (row_i - rr + 2 * TILE_ROWS) & (TILE_ROWS - 1)
+            contrib = jnp.take_along_axis(moved, rows_idx, axis=0)
+            live = (flat >= dw) & (flat < dw + nw)
+            acc_ref[:] = acc_ref[:] | jnp.where(live, contrib, _U32(0))
+    out_ref[:] = acc_ref[:]
 
 
 @functools.partial(jax.jit,
@@ -153,42 +161,45 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
     if cap % 128:
         raise ValueError("cap_words must be a multiple of 128")
     cap_rows = cap // 128
+    if cap_rows > TILE_ROWS:
+        raise ValueError("cap_words must be <= 1024 (8 rows)")
     wrows = _seg_rows(cap, k_max)
-    # stream rows, padded so the last tile's window DMA stays in range
-    rows = block_streams.reshape(nb * cap_rows, 128)
+    # stage at a fixed 8-row stride per block (8-row-aligned DMA starts),
+    # plus a window of trailing zero rows so the last tile's DMA stays in
+    # range
+    rows3 = block_streams.reshape(nb, cap_rows, 128)
+    if cap_rows < TILE_ROWS:
+        rows3 = jnp.pad(rows3, ((0, 0), (0, TILE_ROWS - cap_rows), (0, 0)))
+    rows = rows3.reshape(nb * TILE_ROWS, 128)
     rows = jnp.concatenate(
         [rows, jnp.zeros((wrows, 128), _U32)], axis=0)
 
-    # meta arrays as (R,128) rows, padded to cover f+1024+k
-    mr = -(-(nb + k_max + 1) // 1024) + 1
+    # meta arrays as flat 1-D (1024-aligned SMEM DMA windows)
+    mpad = -(-(nb + _MW) // 1024) * 1024 - nb
     metaw = jnp.concatenate(
         [word_base.astype(jnp.int32),
-         jnp.full(mr * 1024 - nb, jnp.int32(2 ** 30))]).reshape(mr * 8, 128)
+         jnp.full(mpad, jnp.int32(2 ** 30))])
     metax = jnp.concatenate(
-        [aux.astype(jnp.int32),
-         jnp.zeros(mr * 1024 - nb, jnp.int32)]).reshape(mr * 8, 128)
+        [aux.astype(jnp.int32), jnp.zeros(mpad, jnp.int32)])
 
-    wrow0 = (f_tile * cap_rows).astype(jnp.int32)
+    wrow0 = (f_tile * TILE_ROWS).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda g, f, w: (f[g] >> 10, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda g, f, w: ((f[g] >> 10) + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda g, f, w: (f[g] >> 10, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda g, f, w: ((f[g] >> 10) + 1, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec((TILE_ROWS, 128), lambda g, f, w: (g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2 * wrows, 128), _U32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2 * _MW,), jnp.int32),
+            pltpu.SMEM((2 * _MW,), jnp.int32),
+            pltpu.VMEM((TILE_ROWS, 128), _U32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     out = pl.pallas_call(
@@ -198,7 +209,7 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), _U32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(f_tile.astype(jnp.int32), wrow0, metaw, metaw, metax, metax, rows)
+    )(f_tile.astype(jnp.int32), wrow0, metaw, metax, rows)
     return out
 
 

@@ -56,23 +56,30 @@ def _flat_roll_right(x, n):
     return jnp.where(lane >= n, a, b)
 
 
-def _prefix_flat(mask):
-    """Exclusive prefix count over (8,128) in row-major order (int32).
+def _prefix_sum_flat(vals):
+    """Exclusive prefix SUM of int32 over (8,128) in row-major order.
 
     Pure VPU log-shift cumsum: per-round MXU matmuls have far too much
-    fixed latency for a 256-round loop.
+    fixed latency for a 256-round loop.  With two sub-16-bit counts packed
+    in the lo/hi halves of each int32, one pass prefixes both at once
+    (counts <= 1024 per half: no cross-half carry).
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
-    incl = mask.astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    incl = vals
     for k in (1, 2, 4, 8, 16, 32, 64):
         incl = incl + jnp.where(lane >= k, jnp.roll(incl, k, axis=1), 0)
-    row_tot = jnp.broadcast_to(incl[:, 127:128], mask.shape)
-    row = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+    row_tot = jnp.broadcast_to(incl[:, 127:128], vals.shape)
+    row = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0)
     x = row_tot
     for k in (1, 2, 4):
         x = x + jnp.where(row >= k, jnp.roll(x, k, axis=0), 0)
     excl_rows = x - row_tot
-    return incl - mask.astype(jnp.int32) + excl_rows
+    return incl - vals + excl_rows
+
+
+def _prefix_flat(mask):
+    """Exclusive prefix count of a bool mask (flat row-major order)."""
+    return _prefix_sum_flat(mask.astype(jnp.int32))
 
 
 def _butterfly_compact(vals, mask, rank):
@@ -132,35 +139,58 @@ def _lens_lookup(table_ref, sym):
 
 def _schedule_kernel(ltab_ref, bytes_ref, streams_ref, nk_ref, out_ref,
                      cnt_ref):
-    """One tile: simulate the reader, emit payload words in pull order."""
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    """One tile: simulate the reader, emit payload words in pull order.
+
+    v2, ~2.5x fewer vector ops than the one-round-at-a-time simulation:
+
+      * PAIR-BATCHED rounds — a lane can never pull in two consecutive
+        rounds (after a pull, avail >= 32 - MAXLEN >= 20 >= MAXLEN), so
+        rounds (2p, 2p+1) share ONE butterfly compaction, ONE packed
+        prefix count (both rounds' pull masks in the lo/hi 16 bits of a
+        single int32 cumsum) and ONE pending-buffer append;
+      * GROUPED word fetch — over 8 rounds a lane pulls at most 3 words
+        (32-bit refills, <=12-bit consumption), so one pass over the
+        98 stream chunks per 8-round group fetches the lane's next three
+        words (wcur_g .. wcur_g+2); each pair then 3-way selects.
+    """
     zero = jnp.zeros((8, 128), jnp.int32)
 
-    def round_body(j, carry):
+    def pair_body(p, carry, w012, wcur_g):
         avail, wcur, pending, f, row_base = carry
-        wsel = bytes_ref[:, pl.ds((j >> 2) * 128, 128)]
-        shift = (3 - (j & 3)) * 8
-        sym = ((wsel >> shift.astype(_U32)) & _U32(255)).astype(jnp.int32)
-        active = j < nk_ref[:]
-        length = jnp.where(active, _lens_lookup(ltab_ref, sym), 0)
-        pull = (avail < MAXLEN) & active
-        rank = _prefix_flat(pull)
-        cnt = jnp.sum(jnp.where(pull, 1, 0))
+        j0 = p * 2
 
-        # per-lane next stream word: streams[s, 128*wcur + l] — chunk wcur.
-        # Statically unrolled: fori-loop per-iteration overhead dominates a
-        # 256-round kernel.
-        word = jnp.zeros((8, 128), _U32)
-        for c in range(SUB_BYTES * MAXLEN // 32 + 2):    # wcur <= 97
-            chunk = streams_ref[:, c * 128:(c + 1) * 128]
-            word = jnp.where(wcur == c, chunk, word)
+        def sym_at(j):
+            wsel = bytes_ref[:, pl.ds((j >> 2) * 128, 128)]
+            shift = (3 - (j & 3)) * 8
+            return ((wsel >> _U32(shift)) & _U32(255)).astype(jnp.int32)
 
-        emitted = _butterfly_compact(word, pull, rank)
-        # append at fill level f into the 16-row pending buffer
+        nk = nk_ref[:]
+        len0 = jnp.where(j0 < nk, _lens_lookup(ltab_ref, sym_at(j0)), 0)
+        pull0 = (avail < MAXLEN) & (j0 < nk)
+        avail1 = jnp.where(pull0, avail + 32, avail) - len0
+        len1 = jnp.where(j0 + 1 < nk,
+                         _lens_lookup(ltab_ref, sym_at(j0 + 1)), 0)
+        pull1 = (avail1 < MAXLEN) & (j0 + 1 < nk)
+        avail2 = jnp.where(pull1, avail1 + 32, avail1) - len1
+
+        both = pull0.astype(jnp.int32) + (pull1.astype(jnp.int32) << 16)
+        pfx = _prefix_sum_flat(both)
+        tot = jnp.sum(both)
+        cnt0 = tot & 0xFFFF
+        cnt1 = tot >> 16
+        rank = jnp.where(pull0, pfx & 0xFFFF, cnt0 + (pfx >> 16))
+
+        # the pulled word is the lane's wcur-th (disjoint pulls: a lane
+        # pulling at round j0+1 did not pull at j0, so wcur is unchanged)
+        d = wcur - wcur_g
+        word = jnp.where(d == 0, w012[0],
+                         jnp.where(d == 1, w012[1], w012[2]))
+
+        pullU = pull0 | pull1
+        emitted = _butterfly_compact(word, pullU, rank)
         emitted16 = jnp.concatenate(
             [emitted, jnp.zeros((8, 128), _U32)], axis=0)
         shifted = _flat_roll_right(emitted16, f & 127)
-        # row shift by the traced f>>7 (0..7): 8-way select of static rolls
         rowoff = f >> 7
         rolled = shifted
         for k in range(1, 8):
@@ -168,7 +198,7 @@ def _schedule_kernel(ltab_ref, bytes_ref, streams_ref, nk_ref, out_ref,
                 [jnp.zeros((k, 128), _U32), shifted[:16 - k]], axis=0)
             rolled = jnp.where(rowoff == k, cand, rolled)
         pending = pending | rolled
-        f = f + cnt
+        f = f + cnt0 + cnt1
 
         do_flush = f >= 1024
 
@@ -182,17 +212,26 @@ def _schedule_kernel(ltab_ref, bytes_ref, streams_ref, nk_ref, out_ref,
         f = jnp.where(do_flush, f - 1024, f)
         row_base = jnp.where(do_flush, row_base + 8, row_base)
 
-        avail = jnp.where(pull, avail + 32, avail) - length
-        wcur = wcur + jnp.where(pull, 1, 0)
-        return avail, wcur, pending, f, row_base
+        wcur = wcur + pull0 + pull1
+        return avail2, wcur, pending, f, row_base
 
-    def round4(i, carry):
-        for k in range(4):                 # unroll: amortize loop overhead
-            carry = round_body(i * 4 + k, carry)
+    def group8(i, carry):
+        # fetch words wcur_g .. wcur_g+2 for every lane in ONE chunk pass
+        wcur_g = carry[1]
+        w0 = jnp.zeros((8, 128), _U32)
+        w1 = jnp.zeros((8, 128), _U32)
+        w2 = jnp.zeros((8, 128), _U32)
+        for c in range(SUB_BYTES * MAXLEN // 32 + 4):    # wcur+2 <= 99
+            chunk = streams_ref[:, c * 128:(c + 1) * 128]
+            w0 = jnp.where(wcur_g == c, chunk, w0)
+            w1 = jnp.where(wcur_g == c - 1, chunk, w1)
+            w2 = jnp.where(wcur_g == c - 2, chunk, w2)
+        for q in range(4):                 # 4 pairs = 8 rounds
+            carry = pair_body(i * 4 + q, carry, (w0, w1, w2), wcur_g)
         return carry
 
     avail, wcur, pending, f, row_base = jax.lax.fori_loop(
-        0, SUB_BYTES // 4, round4,
+        0, SUB_BYTES // 8, group8,
         (zero, zero, jnp.zeros((16, 128), _U32), 0, 0))
     out_ref[pl.ds(row_base, 8), :] = pending[:8]
     cnt_ref[:] = jnp.broadcast_to(row_base * 128 + f, (8, 128))
@@ -241,14 +280,24 @@ def schedule_pallas(byte_words: jax.Array, streams_wm: jax.Array,
     return out, cnt[::8, 0]
 
 
-def _decode_wide_kernel(roff_ref, g0_ref, table_ref, nk_ref, payload_ref,
-                        out_ref, pbuf_ref, sem, *, tb: int):
+def _decode_wide_kernel(roff_ref, g0_ref, s0_ref, t7_ref, t12_ref, nk_ref,
+                        payload_ref, out_ref, pbuf_ref, sem, *,
+                        t12_chunks: int):
+    """v2: two-level canonical table (codebook.two_level_tables).
+
+    Short codes (<= 7 bits, the common case by construction of Huffman
+    codes) resolve in ONE shallow gather against the 128-entry t7; only
+    the long-code suffix table t12 is chunk-scanned — s0 (the first long
+    code's 12-bit index) rebases it, so typical codebooks scan 1-4 chunks
+    instead of 32.
+    """
     i = pl.program_id(0)
     copy = pltpu.make_async_copy(
         payload_ref.at[pl.ds(roff_ref[i], PAYLOAD_ROWS + 16), :],
         pbuf_ref, sem)
     copy.start()
     copy.wait()
+    s0 = s0_ref[0]
 
     def round_body(j, carry):
         hi, lo, avail, g, acc = carry
@@ -273,13 +322,17 @@ def _decode_wide_kernel(roff_ref, g0_ref, table_ref, nk_ref, payload_ref,
         avail = jnp.where(pull, avail + 32, avail)
         g = g + cnt
 
-        tidx = (hi >> _U32(32 - tb)).astype(jnp.int32)
-        entry = jnp.zeros((8, 128), jnp.int32)
-        for c in range((1 << tb) // 128):       # static unroll (see above)
-            chunk = table_ref[:, c * 128:(c + 1) * 128]
-            gg = jnp.take_along_axis(chunk, jnp.clip(tidx - c * 128, 0, 127),
+        p7 = (hi >> _U32(25)).astype(jnp.int32)
+        e7 = jnp.take_along_axis(
+            jnp.broadcast_to(t7_ref[0:1, :], (8, 128)), p7, axis=1)
+        i12 = (hi >> _U32(32 - MAXLEN)).astype(jnp.int32) - s0
+        e12 = jnp.zeros((8, 128), jnp.int32)
+        for c in range(t12_chunks):
+            chunk = t12_ref[:, c * 128:(c + 1) * 128]
+            gg = jnp.take_along_axis(chunk, jnp.clip(i12 - c * 128, 0, 127),
                                      axis=1)
-            entry = jnp.where((tidx >> 7) == c, gg, entry)
+            e12 = jnp.where((i12 >> 7) == c, gg, e12)
+        entry = jnp.where(e7 != 0, e7, e12)
         length = jnp.where(active, entry & 31, 0)
         sym = jnp.where(active, (entry >> 5) & 255, 0)
         acc = (acc << _U32(8)) | sym.astype(_U32)
@@ -305,16 +358,18 @@ def _decode_wide_kernel(roff_ref, g0_ref, table_ref, nk_ref, payload_ref,
                        g0_ref[i], z32))
 
 
-@functools.partial(jax.jit, static_argnames=("table_bits", "interpret"))
+@functools.partial(jax.jit, static_argnames=("t12_size", "interpret"))
 def decode_wide_pallas(payload: jax.Array, tile_word_off: jax.Array,
-                       n_k: jax.Array, table_entries: jax.Array,
-                       table_bits: int, interpret: bool = False):
+                       n_k: jax.Array, t7: jax.Array, t12: jax.Array,
+                       s0: jax.Array, t12_size: int,
+                       interpret: bool = False):
     """Decode wide-format payloads.
 
     payload: (NW,) u32 word-aligned concatenation of tile payloads.
     tile_word_off: (NT,) int32 starting word of each tile's payload.
     n_k: (NT*8, 128) int32 per-substream valid byte counts.
-    table_entries: (2^tb,) int32 canonical sym<<5|len.
+    t7/t12/s0: two-level canonical tables (codebook.two_level_tables);
+    t12_size static = t12.shape[0] (power-of-two bucket).
     Returns (NT*8, 8192) i32 — 4 big-endian bytes per word, word w of
     substream (s,l) at [8t+s, 128*w + l].
     """
@@ -327,14 +382,16 @@ def decode_wide_pallas(payload: jax.Array, tile_word_off: jax.Array,
     pl2d = pl_pad.reshape(rows, 128)
     roff = ((tile_word_off >> 7) & ~jnp.int32(7)).astype(jnp.int32)
     g0 = (tile_word_off - roff * 128).astype(jnp.int32)
-    tbl = jnp.broadcast_to(table_entries.astype(jnp.int32)[None, :],
-                           (8, 1 << table_bits))
+    t7b = jnp.broadcast_to(t7.astype(jnp.int32)[None, :], (8, 128))
+    t12b = jnp.broadcast_to(t12.astype(jnp.int32)[None, :], (8, t12_size))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((8, 1 << table_bits), lambda i, *_: (0, 0),
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, t12_size), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -349,11 +406,12 @@ def decode_wide_pallas(payload: jax.Array, tile_word_off: jax.Array,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_decode_wide_kernel, tb=table_bits),
+        functools.partial(_decode_wide_kernel,
+                          t12_chunks=t12_size // 128),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt * 8, SUB_BYTES * 128 // 4),
                                        jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(roff, g0, tbl, n_k, pl2d)
+    )(roff, g0, s0.astype(jnp.int32).reshape(1), t7b, t12b, n_k, pl2d)
     return out

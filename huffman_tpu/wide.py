@@ -192,9 +192,7 @@ def decode_wide(enc: WideEncoded, interpret: bool = False) -> np.ndarray:
     nk = _sub_valid(enc.n_bytes)
     if len(nk) < nt * N_SUB:
         nk = np.pad(nk, (0, nt * N_SUB - len(nk)))
-    tb = cfg.decode_table_bits
-    syms, lens = enc.codebook.decode_table(tb)
-    entries = (syms.astype(np.int32) << 5) | lens.astype(np.int32)
+    t7, t12, s0 = enc.codebook.two_level_tables(7, MAXLEN)
     # bucket the payload length so any stream size hits a cached executable
     nwb = 1 << 14
     while nwb < enc.payload_words.size:
@@ -203,13 +201,20 @@ def decode_wide(enc: WideEncoded, interpret: bool = False) -> np.ndarray:
     payload[: enc.payload_words.size] = enc.payload_words
     out = decode_wide_pallas(
         jnp.asarray(payload), jnp.asarray(offs),
-        jnp.asarray(nk.reshape(nt * 8, 128)), jnp.asarray(entries), tb,
+        jnp.asarray(nk.reshape(nt * 8, 128)), jnp.asarray(t7),
+        jnp.asarray(t12), jnp.asarray(np.int32(s0)), int(t12.size),
         interpret=interpret)
-    out = np.asarray(out)
+    out = _unpack_wide_output(out)       # device-side relayout
+    return np.asarray(out)[: enc.n_bytes]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _unpack_wide_output(out):
+    """(NT8, 8192) i32 word-major kernel output -> flat uint8 bytes."""
     nt8 = out.shape[0]
     words = out.reshape(nt8 // 8, 8, SUB_BYTES // 4, 128) \
         .transpose(0, 1, 3, 2).reshape(-1, SUB_BYTES // 4)
-    w = words.astype(np.uint32)
-    by = np.stack([(w >> 24) & 255, (w >> 16) & 255, (w >> 8) & 255,
-                   w & 255], axis=-1).astype(np.uint8)
-    return by.reshape(-1)[: enc.n_bytes]
+    w = words.astype(jnp.uint32)
+    by = jnp.stack([(w >> 24) & 255, (w >> 16) & 255, (w >> 8) & 255,
+                    w & 255], axis=-1).astype(jnp.uint8)
+    return by.reshape(-1)

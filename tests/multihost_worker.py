@@ -1,0 +1,98 @@
+"""Worker process for the 2-host distributed test (test_multihost.py).
+
+Each process owns 2 virtual CPU devices; jax.distributed stitches them
+into one 4-device global mesh — the same code path a real multi-host TPU
+pod slice uses (parallel/mesh.init_multihost), with DCN collectives
+replaced by local gloo.  Usage:
+    python multihost_worker.py <process_id> <num_processes> <port>
+Prints MULTIHOST-OK on success (every process must).
+"""
+
+import os
+import sys
+
+pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+
+from huffman_tpu.parallel.mesh import init_multihost  # noqa: E402
+
+init_multihost(coordinator_address=f"localhost:{port}",
+               num_processes=nprocs, process_id=pid)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import multihost_utils  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from huffman_tpu import golden  # noqa: E402
+from huffman_tpu.codebook import Codebook  # noqa: E402
+from huffman_tpu.config import CodecConfig  # noqa: E402
+from huffman_tpu.golden.numpy_codec import packed_bytes_to_words  # noqa: E402
+from huffman_tpu.parallel.mesh import DATA_AXIS, make_mesh  # noqa: E402
+from huffman_tpu.parallel.pipeline import (assemble_dense,  # noqa: E402
+                                           encode_phase1, pack_phase2)
+from huffman_tpu.utils import testdata  # noqa: E402
+
+assert jax.process_count() == nprocs, jax.process_count()
+ndev = len(jax.devices())
+assert ndev == 2 * nprocs, ndev
+
+cfg = CodecConfig(block_bytes=64)
+mesh = make_mesh()  # all 4 global devices
+data = testdata.skewed(ndev * 3 * cfg.block_bytes + 29, num_symbols=16,
+                       seed=7)
+cb = Codebook.from_data(data, cfg.max_code_len)
+
+# global (blocks, valid), padded to a mesh multiple, sharded on block axis
+from huffman_tpu.api import valid_per_block  # noqa: E402
+
+nb = -(-len(data) // cfg.block_bytes)
+nb = -(-nb // ndev) * ndev
+padded = np.zeros(nb * cfg.block_bytes, np.uint8)
+padded[: len(data)] = data
+blocks = padded.reshape(nb, cfg.block_bytes)
+valid = valid_per_block(len(data), nb, cfg.block_bytes)
+
+bs = NamedSharding(mesh, P(DATA_AXIS))
+nb_loc = nb // nprocs
+d_blocks = jax.make_array_from_process_local_data(
+    bs, blocks[pid * nb_loc:(pid + 1) * nb_loc], blocks.shape)
+d_valid = jax.make_array_from_process_local_data(
+    bs, valid[pid * nb_loc:(pid + 1) * nb_loc], valid.shape)
+
+p1 = encode_phase1(mesh, cfg.capacity_words, use_pallas=False,
+                   max_code_len=cfg.max_code_len)
+streams, bits_dev, shard_word, shard_shift, hist = p1(
+    d_blocks, d_valid, jnp.asarray(cb.codes), jnp.asarray(cb.lengths))
+
+p2 = pack_phase2(mesh, 1, 1, streams.shape[1], use_pallas=False)
+shard_streams, used = p2(streams, bits_dev, shard_shift)
+
+# gather everything to every process and verify on all of them
+bits = multihost_utils.process_allgather(bits_dev, tiled=True)
+g_streams = multihost_utils.process_allgather(shard_streams, tiled=True)
+g_word = multihost_utils.process_allgather(shard_word, tiled=True)
+g_used = multihost_utils.process_allgather(used, tiled=True)
+g_hist = np.asarray(hist.addressable_shards[0].data
+                    if hasattr(hist, "addressable_shards") else hist)
+
+assert int(g_hist.sum()) == len(data), "psum histogram lost bytes"
+total_bits = int(np.asarray(bits).astype(np.int64).sum())
+stream = assemble_dense(np.asarray(g_streams), np.asarray(g_word),
+                        np.asarray(g_used), -(-total_bits // 32))
+ref_bytes, ref_bits = golden.encode(data, cb)
+assert total_bits == ref_bits, (total_bits, ref_bits)
+assert np.array_equal(stream, packed_bytes_to_words(ref_bytes)), \
+    "multi-host stream not bit-exact vs golden"
+print("MULTIHOST-OK", flush=True)
