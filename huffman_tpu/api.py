@@ -134,6 +134,24 @@ def _bucket_blocks(nb: int) -> int:
 CHUNK_BLOCKS = 16384
 
 
+def _kernel_mcl(cb: Codebook) -> int:
+    """Static max-code-len bucket for kernel specialization: {4, 8, 12, 16}.
+
+    The Mosaic tree is specialized on a STATIC code-length bound — it sets
+    the gather spans and, at <= 8, halves the tree width (see
+    ops/pallas/encode.encode_tree_chunks).  cfg.max_code_len is the
+    package-merge QUALITY cap; the kernel bound follows the codebook the
+    data actually produced, so skewed streams (e.g. the reference's
+    32-symbol fixture) automatically hit the narrow fast tree.  Bucketing
+    keeps the number of compiled variants at four.
+    """
+    actual = int(np.max(cb.lengths))
+    for b in (4, 8, 12, 16):
+        if actual <= b:
+            return b
+    return 16
+
+
 def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
                            max_code_len: int):
     """Pipelined host->device staging + per-chunk encode kernels.
@@ -235,19 +253,20 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
         raise ValueError("input contains symbols absent from the codebook")
     valid = valid_per_block(n, blocks.shape[0], cfg.block_bytes)
     if _pallas_ok(cfg):
+        kmcl = _kernel_mcl(cb)
         if blocks.shape[0] > CHUNK_BLOCKS:
             # big input: chunked staging overlaps H2D with encode compute
             from .ops.pallas.pack2 import pack_dense_parallel
             cap = cdiv(cfg.capacity_words, 128) * 128
             streams, bits_all = _encode_blocks_chunked(
-                blocks, valid, cb.codes, cb.lengths, cap, cfg.max_code_len)
+                blocks, valid, cb.codes, cb.lengths, cap, kmcl)
             stream = pack_dense_parallel(streams, bits_all)
             block_bits = bits_all[: blocks.shape[0]]
         else:
             stream, block_bits = encode_pipeline_pallas(
                 jnp.asarray(blocks), jnp.asarray(cb.codes),
                 jnp.asarray(cb.lengths), jnp.asarray(valid),
-                cfg.capacity_words, max_code_len=cfg.max_code_len)
+                cfg.capacity_words, max_code_len=kmcl)
     else:
         stream, block_bits, _offsets = encode_pipeline(
             jnp.asarray(blocks), jnp.asarray(cb.codes),

@@ -169,7 +169,8 @@ def _shl_u(x, n):
     return jax.lax.shift_left(x, n.astype(_U32))
 
 
-def merge_level_v2(vals, alenc, n_items: int, S: int, it, max_code_len: int):
+def merge_level_v2(vals, alenc, n_items: int, S: int, it, max_code_len: int,
+                   item_bytes: int = 0):
     """One doubling merge with compact per-item bit lengths.
 
     vals: chunk list of (T, 128) u32 — item streams, left-aligned, item i
@@ -195,10 +196,13 @@ def merge_level_v2(vals, alenc, n_items: int, S: int, it, max_code_len: int):
     b_c = _even_odd(alenc, 1, n_cc, it)
     new_alenc = [a + b for a, b in zip(a_c, b_c)]
 
-    # left-item words bound: item at this level is 2^k bytes = 2*S "L1
-    # items"; bits <= 2*S*... expressed via bytes: item_bytes = 2*S (each
-    # L1 lane is a 2-byte pair at spacing 1).
-    wmax = min(S, (2 * S * max_code_len) // 32)
+    # left-item words bound: input items hold item_bytes bytes of content
+    # (standard tree: item_bytes = 2*S — each L1 lane is a 2-byte pair at
+    # spacing 1; compact tree: item_bytes = 4*S after the lane-halving
+    # merges), so w <= item_bytes*max_code_len//32.
+    if not item_bytes:
+        item_bytes = 2 * S
+    wmax = min(S, (item_bytes * max_code_len) // 32)
 
     new_vals = []
     carry = jnp.zeros((vals[0].shape[0], 1), _U32)
@@ -256,11 +260,16 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     bytes along lanes).  table_lanes: (>=2, 128) int32 packed code*32+len.
     valid_col: (T, 1) int32 count of real bytes per block.
     stop_level: stop the merge tree early — at level k the row holds
-    2^(10-k) items of 2^k bytes each, spacing 2^(k-1) lanes (the wide
-    format's substream encoder stops at 8: four 256-byte substreams per
-    row).  At the default 10 the whole 1 KiB block is one stream and the
-    returned bits are lens[0][:, 0].
-    max_code_len: static bound on codeword bits (tightens gather spans).
+    2^(10-k) items of 2^k bytes each (the wide format's substream encoder
+    stops at 8: four 256-byte substreams per row).  At the default 10 the
+    whole 1 KiB block is one stream and the returned bits are
+    lens[0][:, 0].
+    max_code_len: static bound on codeword bits.  Beyond tightening the
+    gather spans, it sets the TREE WIDTH: while a merged pair still fits
+    one 32-bit word (2*item_bytes*max_code_len <= 32) the merge HALVES
+    the lane count instead of doubling the spacing, so an 8-bit cap runs
+    the whole tree in 2 chunks (256 lanes) instead of 4 — the per-level
+    vector work halves with the chunk count.
     """
     t = sym_chunks[0].shape[0]
     it = _iota128(t)
@@ -289,12 +298,31 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     alenc = [al + bl for al, bl in zip(a_l, b_l)]  # compact: item i at lane i
 
     n_items = LANES
-    for k in range(1, stop_level):
-        vals, alenc = merge_level_v2(vals, alenc, n_items, 1 << (k - 1), it,
-                                     max_code_len)
+    item_bytes = 2
+    S = 1
+    n_stop = 1 << (10 - stop_level)
+    # compacting merges: a merged pair still fits one word, so halve the
+    # lane count (deinterleave + single-word OR) instead of spreading
+    while (2 * item_bytes * max_code_len <= 32 and n_items > n_stop
+           and len(vals) > 1):
+        nd = len(vals) // 2
+        a_v = _even_odd(vals, 0, nd, it)
+        b_v = _even_odd(vals, 1, nd, it)
+        a_l = _even_odd(alenc, 0, nd, it)
+        b_l = _even_odd(alenc, 1, nd, it)
+        vals = [av | _shr_u(bv, al) for av, bv, al in zip(a_v, b_v, a_l)]
+        alenc = [al + bl for al, bl in zip(a_l, b_l)]
         n_items //= 2
+        item_bytes *= 2
+    # standard doubling merges
+    while n_items > n_stop:
+        vals, alenc = merge_level_v2(vals, alenc, n_items, S, it,
+                                     max_code_len, item_bytes)
+        n_items //= 2
+        item_bytes *= 2
+        S *= 2
 
-    lens = _expand_lens(alenc, 1 << (stop_level - 1), it, NCHUNK)
+    lens = _expand_lens(alenc, max(S, 1), it, len(vals))
     return vals, lens
 
 
@@ -315,7 +343,11 @@ def _encode_kernel(table_ref, valid_ref, sym_ref, out_ref, bits_ref,
     vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
                                     valid_ref[:, 0:1],
                                     max_code_len=max_code_len)
-    out_ref[:] = jnp.concatenate(vals, axis=1)[:, :cap_words]
+    stream = jnp.concatenate(vals, axis=1)
+    if stream.shape[1] < cap_words:       # compact tree narrower than cap
+        stream = jnp.pad(stream,
+                         ((0, 0), (0, cap_words - stream.shape[1])))
+    out_ref[:] = stream[:, :cap_words]
     bits_ref[:] = jnp.broadcast_to(lens[0][:, 0:1], bits_ref.shape)
 
 

@@ -51,7 +51,7 @@ _MW = 2048        # meta SMEM window: 1024-aligned, covers f..f+K
 
 
 def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
-                 out_ref, win_ref, mw_ref, mx_ref, acc_ref, sems, *,
+                 out_ref, win_ref, mw_ref, mx_ref, sems, *,
                  k_max: int, cap_words: int, n_tiles: int):
     g = pl.program_id(0)
     wrows = _seg_rows(cap_words, k_max)
@@ -98,7 +98,11 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
     flat = row_i * 128 + lane
     tile_w0 = g * TILE_WORDS
 
-    acc_ref[:] = jnp.zeros((TILE_ROWS, 128), _U32)
+    # Straight-line accumulation: every segment's contribution is computed
+    # unconditionally and masked arithmetically — scalar-predicated pl.when
+    # regions with per-segment acc_ref RMWs serialize on VMEM and break the
+    # VPU pipeline across segments.
+    acc = jnp.zeros((TILE_ROWS, 128), _U32)
     for k in range(k_max):
         wb = mw_ref[p0 + k]                            # block start word
         ax = mx_ref[p0 + k]                            # bits<<5 | shift
@@ -107,37 +111,36 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
         nw = jnp.where(bits == 0, 0, (sh + bits + 31) >> 5)
         dw = wb - tile_w0                              # in [-cap, 1024)
 
-        @pl.when((nw > 0) & (dw < TILE_WORDS) & (dw + nw > 0))
-        def _():
-            # the block's stream: 8 physical rows at window offset k*8
-            # (zero-padded past cap_words at staging time, so the flat
-            # rotation below is mod 1024 over real zeros)
-            pad = win[k * TILE_ROWS:(k + 1) * TILE_ROWS]
+        # the block's stream: 8 physical rows at window offset k*8
+        # (zero-padded past cap_words at staging time, so the flat
+        # rotation below is mod 1024 over real zeros)
+        pad = win[k * TILE_ROWS:(k + 1) * TILE_ROWS]
 
-            # bit-shift right by sh (MSB-first stream): word j gets
-            # (s[j] >> sh) | (s[j-1] << (32-sh))
-            pv = jnp.roll(pad, 1, axis=1)
-            prow = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 0)
-            plan = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 1)
-            pv = jnp.where(plan == 0, jnp.roll(pv, 1, axis=0), pv)
-            pv = jnp.where((plan == 0) & (prow == 0), _U32(0), pv)
-            xs = _shr_u(pad, sh) | jnp.where(sh == 0, _U32(0),
-                                             _shl_u(pv, (32 - sh) & 31))
+        # bit-shift right by sh (MSB-first stream): word j gets
+        # (s[j] >> sh) | (s[j-1] << (32-sh)); the double-shift
+        # (pv << (31-sh)) << 1 is well-defined for every sh in [0,32)
+        # and yields 0 at sh == 0 — no select needed.
+        pv = jnp.roll(pad, 1, axis=1)
+        prow = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 0)
+        plan = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 1)
+        pv = jnp.where(plan == 0, jnp.roll(pv, 1, axis=0), pv)
+        pv = jnp.where((plan == 0) & (prow == 0), _U32(0), pv)
+        xs = _shr_u(pad, sh) | _shl_u(_shl_u(pv, 31 - sh), jnp.int32(1))
 
-            # place at word offset dw within the tile: flat-rotate right
-            # by dw mod 1024 over the (8,128) row-major layout, then mask
-            # the live range [dw, dw+nw).
-            rot = (dw + 2048) & (TILE_WORDS - 1)
-            rl = rot & 127
-            rr = rot >> 7
-            a = jnp.take_along_axis(xs, (lane - rl) & 127, axis=1)
-            b = jnp.roll(a, 1, axis=0)
-            moved = jnp.where(lane >= rl, a, b)        # lane part w/ borrow
-            rows_idx = (row_i - rr + 2 * TILE_ROWS) & (TILE_ROWS - 1)
-            contrib = jnp.take_along_axis(moved, rows_idx, axis=0)
-            live = (flat >= dw) & (flat < dw + nw)
-            acc_ref[:] = acc_ref[:] | jnp.where(live, contrib, _U32(0))
-    out_ref[:] = acc_ref[:]
+        # place at word offset dw within the tile: flat-rotate right
+        # by dw mod 1024 over the (8,128) row-major layout, then mask
+        # the live range [dw, dw+nw).
+        rot = (dw + 2048) & (TILE_WORDS - 1)
+        rl = rot & 127
+        rr = rot >> 7
+        a = jnp.take_along_axis(xs, (lane - rl) & 127, axis=1)
+        b = jnp.roll(a, 1, axis=0)
+        moved = jnp.where(lane >= rl, a, b)            # lane part w/ borrow
+        rows_idx = (row_i - rr + 2 * TILE_ROWS) & (TILE_ROWS - 1)
+        contrib = jnp.take_along_axis(moved, rows_idx, axis=0)
+        live = (flat >= dw) & (flat < dw + nw)
+        acc = acc | jnp.where(live, contrib, _U32(0))
+    out_ref[:] = acc
 
 
 @functools.partial(jax.jit,
@@ -198,7 +201,6 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
             pltpu.VMEM((2 * wrows, 128), _U32),
             pltpu.SMEM((2 * _MW,), jnp.int32),
             pltpu.SMEM((2 * _MW,), jnp.int32),
-            pltpu.VMEM((TILE_ROWS, 128), _U32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
@@ -250,16 +252,20 @@ def pack_dense_parallel(block_streams: jax.Array, block_bits_host,
                          "(a shifted block must fit one 1024-word tile)")
     bits = np.asarray(block_bits_host, dtype=np.int64)
     total_words = int((bits.sum() + 31) // 32)
-    # K = max blocks covering one tile: interior blocks emit >= min_int
-    # bits each; +4 covers the partial first block, a tiny tail block,
-    # and the possibly-one-early f.
-    nz = bits[bits > 0]
-    min_int = int(nz[:-1].min()) if nz.size > 1 else TILE_WORDS * 32
-    k_need = min(TILE_WORDS * 32 // max(min_int, 1024) + 4, 40)
-    k_max = 6
-    while k_max < k_need:
-        k_max = min(k_max * 2, 40)
     n_tiles = _bucket_pow2(max(total_words, 1) // TILE_WORDS + 1, 8)
+    # K = max blocks covering one tile, computed EXACTLY from the host
+    # offsets (the kernel's per-segment cost is linear in K) and bucketed
+    # to a multiple of 4 so kernel shapes hit the compile cache.
+    word_base = np.concatenate([[0], np.cumsum(bits)[:-1] >> 5])
+    tile_starts = np.arange(n_tiles, dtype=np.int64) * TILE_WORDS
+    first = np.maximum(np.searchsorted(word_base, tile_starts, "left") - 1, 0)
+    last = np.maximum(
+        np.searchsorted(word_base, tile_starts + TILE_WORDS, "left") - 1, 0)
+    k_need = int((last - first).max()) + 1
+    if k_need > 48:        # full 1 KiB blocks emit >= 1024 bits, so a
+        raise ValueError(  # 1024-word tile is covered by <= 34 blocks
+            f"pack tile covered by {k_need} blocks — corrupt block_bits?")
+    k_max = max(-(-k_need // 4) * 4, 4)
     out = _pack_prepared(block_streams,
                          jnp.asarray(bits.astype(np.int32)),
                          n_tiles, k_max, cap, interpret=interpret)

@@ -88,3 +88,23 @@ def test_matches_xla_encode_blocks():
         *args, CFG.capacity_words, interpret=True)
     assert np.array_equal(np.asarray(ref_bits), np.asarray(got_bits))
     assert np.array_equal(np.asarray(ref_packed), np.asarray(got_packed))
+
+
+@pytest.mark.parametrize("mcl,nsym,seed", [(8, 32, 11), (6, 20, 12),
+                                           (4, 8, 13)])
+def test_compact_tree_bit_exact(mcl, nsym, seed):
+    """max_code_len <= 8 runs the lane-halved compact tree — same bits."""
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, nsym, size=6 * 1024 + 77).astype(np.uint8)
+    cb = Codebook.from_data(data, mcl)
+    assert cb.lengths.max() <= mcl
+    cfg = CodecConfig(max_code_len=mcl)
+    blocks, n = api._as_blocks(data, cfg)
+    valid = api.valid_per_block(n, blocks.shape[0], cfg.block_bytes)
+    out, bits = encode_blocks_pallas(
+        jnp.asarray(blocks), jnp.asarray(cb.codes), jnp.asarray(cb.lengths),
+        jnp.asarray(valid), 256, interpret=True, max_code_len=mcl)
+    out, bits = np.asarray(out), np.asarray(bits)
+    for b, (ew, ebits) in enumerate(_expected_blocks(blocks, valid, cb)):
+        assert bits[b] == ebits, (b, bits[b], ebits)
+        assert np.array_equal(out[b, : len(ew)], ew), b
