@@ -86,10 +86,9 @@ def main() -> None:
     # ---------------- dense encode (headline) -------------------------
     if use_pallas:
         from huffman_tpu.ops.pallas.encode import encode_blocks_pallas
-        from huffman_tpu.ops.pallas.pack2 import (_pack_prepared,
-                                                  pack_dense_parallel,
-                                                  TILE_WORDS, _bucket_pow2)
+        from huffman_tpu.ops.pallas.pack2 import _pack_prepared, plan_pack
         cap = ((cfg.capacity_words + 127) // 128) * 128
+        kmcl = api._kernel_mcl(cb)
 
         def mk_encode(k):
             @jax.jit
@@ -97,8 +96,7 @@ def main() -> None:
                 def body(carry, _):
                     bb = db.at[0, 0].set(carry)
                     out, bits = encode_blocks_pallas(
-                        bb, dc, dl, dv, cap,
-                        max_code_len=cfg.max_code_len)
+                        bb, dc, dl, dv, cap, max_code_len=kmcl)
                     return out[0, 0].astype(jnp.uint8), bits[0]
                 c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
                 return c
@@ -106,17 +104,9 @@ def main() -> None:
         t_enc = slope_time(mk_encode)
 
         streams, bits_dev = jax.block_until_ready(encode_blocks_pallas(
-            db, dc, dl, dv, cap, max_code_len=cfg.max_code_len))
+            db, dc, dl, dv, cap, max_code_len=kmcl))
         bits_host = np.asarray(bits_dev)
-        bits64 = bits_host.astype(np.int64)
-        total_words = int((bits64.sum() + 31) // 32)
-        nz = bits64[bits64 > 0]
-        min_int = int(nz[:-1].min()) if nz.size > 1 else TILE_WORDS * 32
-        k_need = min(TILE_WORDS * 32 // max(min_int, 1024) + 4, 40)
-        k_max = 6
-        while k_max < k_need:
-            k_max = min(k_max * 2, 40)
-        n_tiles = _bucket_pow2(max(total_words, 1) // TILE_WORDS + 1, 8)
+        n_tiles, k_max = plan_pack(bits_host)
         d_bits = jax.device_put(jnp.asarray(bits_host.astype(np.int32)))
         d_streams = jax.device_put(streams)
 
@@ -134,6 +124,32 @@ def main() -> None:
         per_iter = t_enc + t_pack
         extra["encode_kernel_gbps"] = round(n / t_enc / 1e9, 2)
         extra["pack_kernel_gbps"] = round(n / t_pack / 1e9, 2)
+
+        if "mcl8" not in skip and kmcl > 8:
+            # the speed/ratio knob: an 8-bit length cap runs the narrow
+            # compact tree (see ops/pallas/encode.py); report its kernel
+            # rate + ratio cost next to the default-config headline
+            cb8 = Codebook.from_data(data, 8)
+            dc8, dl8 = jnp.asarray(cb8.codes), jnp.asarray(cb8.lengths)
+
+            def mk_encode8(k):
+                @jax.jit
+                def fn():
+                    def body(carry, _):
+                        bb = db.at[0, 0].set(carry)
+                        out, bits = encode_blocks_pallas(
+                            bb, dc8, dl8, dv, 256, max_code_len=8)
+                        return out[0, 0].astype(jnp.uint8), bits[0]
+                    c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
+                    return c
+                return fn
+            try:
+                t8 = slope_time(mk_encode8)
+                extra["encode_kernel_mcl8_gbps"] = round(n / t8 / 1e9, 2)
+                extra["bits_per_byte_mcl8"] = round(
+                    float(cb8.lengths[data].mean()), 4)
+            except Exception as e:  # pragma: no cover
+                extra["mcl8_error"] = str(e)[:80]
     else:
         def mk_pipe(k):
             @jax.jit

@@ -139,58 +139,35 @@ def _lens_lookup(table_ref, sym):
 
 def _schedule_kernel(ltab_ref, bytes_ref, streams_ref, nk_ref, out_ref,
                      cnt_ref):
-    """One tile: simulate the reader, emit payload words in pull order.
-
-    v2, ~2.5x fewer vector ops than the one-round-at-a-time simulation:
-
-      * PAIR-BATCHED rounds — a lane can never pull in two consecutive
-        rounds (after a pull, avail >= 32 - MAXLEN >= 20 >= MAXLEN), so
-        rounds (2p, 2p+1) share ONE butterfly compaction, ONE packed
-        prefix count (both rounds' pull masks in the lo/hi 16 bits of a
-        single int32 cumsum) and ONE pending-buffer append;
-      * GROUPED word fetch — over 8 rounds a lane pulls at most 3 words
-        (32-bit refills, <=12-bit consumption), so one pass over the
-        98 stream chunks per 8-round group fetches the lane's next three
-        words (wcur_g .. wcur_g+2); each pair then 3-way selects.
-    """
+    """One tile: simulate the reader, emit payload words in pull order."""
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     zero = jnp.zeros((8, 128), jnp.int32)
 
-    def pair_body(p, carry, w012, wcur_g):
+    def round_body(j, carry):
         avail, wcur, pending, f, row_base = carry
-        j0 = p * 2
+        wsel = bytes_ref[:, pl.ds((j >> 2) * 128, 128)]
+        shift = (3 - (j & 3)) * 8
+        sym = ((wsel >> shift.astype(_U32)) & _U32(255)).astype(jnp.int32)
+        active = j < nk_ref[:]
+        length = jnp.where(active, _lens_lookup(ltab_ref, sym), 0)
+        pull = (avail < MAXLEN) & active
+        rank = _prefix_flat(pull)
+        cnt = jnp.sum(jnp.where(pull, 1, 0))
 
-        def sym_at(j):
-            wsel = bytes_ref[:, pl.ds((j >> 2) * 128, 128)]
-            shift = (3 - (j & 3)) * 8
-            return ((wsel >> _U32(shift)) & _U32(255)).astype(jnp.int32)
+        # per-lane next stream word: streams[s, 128*wcur + l] — chunk wcur.
+        # Statically unrolled: fori-loop per-iteration overhead dominates a
+        # 256-round kernel.
+        word = jnp.zeros((8, 128), _U32)
+        for c in range(SUB_BYTES * MAXLEN // 32 + 2):    # wcur <= 97
+            chunk = streams_ref[:, c * 128:(c + 1) * 128]
+            word = jnp.where(wcur == c, chunk, word)
 
-        nk = nk_ref[:]
-        len0 = jnp.where(j0 < nk, _lens_lookup(ltab_ref, sym_at(j0)), 0)
-        pull0 = (avail < MAXLEN) & (j0 < nk)
-        avail1 = jnp.where(pull0, avail + 32, avail) - len0
-        len1 = jnp.where(j0 + 1 < nk,
-                         _lens_lookup(ltab_ref, sym_at(j0 + 1)), 0)
-        pull1 = (avail1 < MAXLEN) & (j0 + 1 < nk)
-        avail2 = jnp.where(pull1, avail1 + 32, avail1) - len1
-
-        both = pull0.astype(jnp.int32) + (pull1.astype(jnp.int32) << 16)
-        pfx = _prefix_sum_flat(both)
-        tot = jnp.sum(both)
-        cnt0 = tot & 0xFFFF
-        cnt1 = tot >> 16
-        rank = jnp.where(pull0, pfx & 0xFFFF, cnt0 + (pfx >> 16))
-
-        # the pulled word is the lane's wcur-th (disjoint pulls: a lane
-        # pulling at round j0+1 did not pull at j0, so wcur is unchanged)
-        d = wcur - wcur_g
-        word = jnp.where(d == 0, w012[0],
-                         jnp.where(d == 1, w012[1], w012[2]))
-
-        pullU = pull0 | pull1
-        emitted = _butterfly_compact(word, pullU, rank)
+        emitted = _butterfly_compact(word, pull, rank)
+        # append at fill level f into the 16-row pending buffer
         emitted16 = jnp.concatenate(
             [emitted, jnp.zeros((8, 128), _U32)], axis=0)
         shifted = _flat_roll_right(emitted16, f & 127)
+        # row shift by the traced f>>7 (0..7): 8-way select of static rolls
         rowoff = f >> 7
         rolled = shifted
         for k in range(1, 8):
@@ -198,7 +175,7 @@ def _schedule_kernel(ltab_ref, bytes_ref, streams_ref, nk_ref, out_ref,
                 [jnp.zeros((k, 128), _U32), shifted[:16 - k]], axis=0)
             rolled = jnp.where(rowoff == k, cand, rolled)
         pending = pending | rolled
-        f = f + cnt0 + cnt1
+        f = f + cnt
 
         do_flush = f >= 1024
 
@@ -212,26 +189,17 @@ def _schedule_kernel(ltab_ref, bytes_ref, streams_ref, nk_ref, out_ref,
         f = jnp.where(do_flush, f - 1024, f)
         row_base = jnp.where(do_flush, row_base + 8, row_base)
 
-        wcur = wcur + pull0 + pull1
-        return avail2, wcur, pending, f, row_base
+        avail = jnp.where(pull, avail + 32, avail) - length
+        wcur = wcur + jnp.where(pull, 1, 0)
+        return avail, wcur, pending, f, row_base
 
-    def group8(i, carry):
-        # fetch words wcur_g .. wcur_g+2 for every lane in ONE chunk pass
-        wcur_g = carry[1]
-        w0 = jnp.zeros((8, 128), _U32)
-        w1 = jnp.zeros((8, 128), _U32)
-        w2 = jnp.zeros((8, 128), _U32)
-        for c in range(SUB_BYTES * MAXLEN // 32 + 4):    # wcur+2 <= 99
-            chunk = streams_ref[:, c * 128:(c + 1) * 128]
-            w0 = jnp.where(wcur_g == c, chunk, w0)
-            w1 = jnp.where(wcur_g == c - 1, chunk, w1)
-            w2 = jnp.where(wcur_g == c - 2, chunk, w2)
-        for q in range(4):                 # 4 pairs = 8 rounds
-            carry = pair_body(i * 4 + q, carry, (w0, w1, w2), wcur_g)
+    def round4(i, carry):
+        for k in range(4):                 # unroll: amortize loop overhead
+            carry = round_body(i * 4 + k, carry)
         return carry
 
     avail, wcur, pending, f, row_base = jax.lax.fori_loop(
-        0, SUB_BYTES // 8, group8,
+        0, SUB_BYTES // 4, round4,
         (zero, zero, jnp.zeros((16, 128), _U32), 0, 0))
     out_ref[pl.ds(row_base, 8), :] = pending[:8]
     cnt_ref[:] = jnp.broadcast_to(row_base * 128 + f, (8, 128))
