@@ -204,19 +204,66 @@ def main() -> None:
             extra["hist_error"] = str(e)[:80]
 
     if "decode" not in skip and use_pallas:
+        # Wide kernels are timed DEVICE-RESIDENT (slope method): e2e walls
+        # through a remote-device tunnel measure the tunnel, not the codec.
         try:
             from huffman_tpu import wide as wide_mod
-            sub = data[: 16 * 1024 * 1024]
-            t0 = time.perf_counter()
+            from huffman_tpu.wide import (_encode_device, _sub_valid,
+                                          N_SUB, MAXLEN)
+            from huffman_tpu.ops.pallas.wide import decode_wide_pallas
+            sub = data
             wenc = wide_mod.encode_wide(sub, cfg, codebook=cb)
-            extra["wide_encode_e2e_gbps"] = round(
-                len(sub) / (time.perf_counter() - t0) / 1e9, 3)
-            t0 = time.perf_counter()
             out = wide_mod.decode_wide(wenc)
-            extra["wide_decode_e2e_gbps"] = round(
-                len(sub) / (time.perf_counter() - t0) / 1e9, 3)
             extra["wide_roundtrip_ok"] = bool(np.array_equal(out, sub))
             extra["wide_ratio"] = round(float(wenc.ratio), 4)
+
+            wdv = jax.device_put(jnp.full(blocks.shape[0], 1024, jnp.int32))
+
+            def mk_wide_enc(k):
+                @jax.jit
+                def fn():
+                    def body(carry, _):
+                        bb = db.at[0, 0].set(carry)
+                        payload, counts = _encode_device(bb, dc, dl, wdv)
+                        return payload[0, 0].astype(jnp.uint8), counts[0]
+                    c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
+                    return c
+                return fn
+            t_we = slope_time(mk_wide_enc)
+            extra["wide_encode_dev_gbps"] = round(n / t_we / 1e9, 3)
+
+            nt = wenc.tile_words.size
+            offs = np.concatenate(
+                [[0], np.cumsum(wenc.tile_words)[:-1]]).astype(np.int32)
+            nk = _sub_valid(wenc.n_bytes)
+            if len(nk) < nt * N_SUB:
+                nk = np.pad(nk, (0, nt * N_SUB - len(nk)))
+            t7, t12, s0 = wenc.codebook.two_level_tables(7, MAXLEN)
+            nwb = 1 << 14
+            while nwb < wenc.payload_words.size:
+                nwb *= 2
+            payload = np.zeros(nwb, np.uint32)
+            payload[: wenc.payload_words.size] = wenc.payload_words
+            d_pl = jax.device_put(jnp.asarray(payload))
+            d_offs = jnp.asarray(offs)
+            d_nk = jnp.asarray(nk.reshape(nt * 8, 128))
+            d_t7, d_t12 = jnp.asarray(t7), jnp.asarray(t12)
+            d_s0 = jnp.asarray(np.int32(s0))
+
+            def mk_wide_dec(k):
+                @jax.jit
+                def fn():
+                    def body(carry, _):
+                        p = d_pl.at[0].set(carry)
+                        o = decode_wide_pallas(p, d_offs, d_nk, d_t7,
+                                               d_t12, d_s0, int(t12.size))
+                        return o[0, 0].astype(jnp.uint32), o[0, 1]
+                    c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=k)
+                    return c
+                return fn
+            t_wd = slope_time(mk_wide_dec)
+            extra["wide_decode_dev_gbps"] = round(
+                len(sub) / t_wd / 1e9, 3)
         except Exception as e:  # pragma: no cover
             extra["wide_error"] = str(e)[:120]
         try:

@@ -306,17 +306,15 @@ class ShardedCodec:
         bits64 = bits.astype(np.int64).reshape(ndev, -1)
         shift_h = np.asarray(shard_shift).reshape(-1)
         if use_pallas:
-            from ..ops.pallas.pack2 import TILE_WORDS, _bucket_pow2
-            shard_words = (bits64.sum(axis=1) + shift_h + 31) // 32
-            n_tiles = _bucket_pow2(int(shard_words.max()) // TILE_WORDS + 1,
-                                   8)
-            nz = bits64.reshape(-1)
-            nz = nz[nz > 0]
-            min_int = int(nz[:-1].min()) if nz.size > 1 else TILE_WORDS * 32
-            k_need = min(TILE_WORDS * 32 // max(min_int, 1024) + 4, 40)
-            k_max = 6
-            while k_max < k_need:
-                k_max = min(k_max * 2, 40)
+            from ..ops.pallas.pack2 import plan_pack
+            # per-shard exact plan (the shard's initial bit shift enters as
+            # a phantom leading block, a safe +1 on coverage); all shards
+            # share the max so one kernel shape serves the whole mesh
+            n_tiles, k_max = 1, 4
+            for s in range(ndev):
+                nt_s, k_s = plan_pack(
+                    np.concatenate([[int(shift_h[s])], bits64[s]]))
+                n_tiles, k_max = max(n_tiles, nt_s), max(k_max, k_s)
         else:
             n_tiles, k_max = 1, 1   # unused by the XLA body
         p2 = pack_phase2(self.mesh, n_tiles, k_max, cap, use_pallas)
