@@ -208,55 +208,44 @@ def main() -> None:
         # through a remote-device tunnel measure the tunnel, not the codec.
         try:
             from huffman_tpu import wide as wide_mod
-            from huffman_tpu.wide import (_encode_device, _sub_valid,
-                                          N_SUB, MAXLEN)
+            from huffman_tpu.wide import _decode_plan, _encode_device
             from huffman_tpu.ops.pallas.wide import decode_wide_pallas
             sub = data
             wenc = wide_mod.encode_wide(sub, cfg, codebook=cb)
             out = wide_mod.decode_wide(wenc)
             extra["wide_roundtrip_ok"] = bool(np.array_equal(out, sub))
             extra["wide_ratio"] = round(float(wenc.ratio), 4)
-
-            wdv = jax.device_put(jnp.full(blocks.shape[0], 1024, jnp.int32))
+            mcl = int(cb.lengths.max())
 
             def mk_wide_enc(k):
                 @jax.jit
                 def fn():
                     def body(carry, _):
                         bb = db.at[0, 0].set(carry)
-                        payload, counts = _encode_device(bb, dc, dl, wdv)
-                        return payload[0, 0].astype(jnp.uint8), counts[0]
+                        p0, _p1, bases, _c = _encode_device(
+                            bb, dc, dl, dv, jnp.int32(mcl))
+                        return p0[0, 0].astype(jnp.uint8), bases[0, 0]
                     c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
                     return c
                 return fn
             t_we = slope_time(mk_wide_enc)
             extra["wide_encode_dev_gbps"] = round(n / t_we / 1e9, 3)
 
-            nt = wenc.tile_words.size
-            offs = np.concatenate(
-                [[0], np.cumsum(wenc.tile_words)[:-1]]).astype(np.int32)
-            nk = _sub_valid(wenc.n_bytes)
-            if len(nk) < nt * N_SUB:
-                nk = np.pad(nk, (0, nt * N_SUB - len(nk)))
-            t7, t12, s0 = wenc.codebook.two_level_tables(7, MAXLEN)
-            nwb = 1 << 14
-            while nwb < wenc.payload_words.size:
-                nwb *= 2
-            payload = np.zeros(nwb, np.uint32)
-            payload[: wenc.payload_words.size] = wenc.payload_words
+            payload, roff0, g0a, roff1, g0b, nk = _decode_plan(wenc)
+            lim_b, off, perm, min_len = cb.canonical_decode_arrays()
+            tri = np.triu(np.ones((128, 128), np.float32))
             d_pl = jax.device_put(jnp.asarray(payload))
-            d_offs = jnp.asarray(offs)
-            d_nk = jnp.asarray(nk.reshape(nt * 8, 128))
-            d_t7, d_t12 = jnp.asarray(t7), jnp.asarray(t12)
-            d_s0 = jnp.asarray(np.int32(s0))
+            dd = [jnp.asarray(x) for x in
+                  (roff0, g0a, roff1, g0b, wenc.bases.reshape(-1),
+                   lim_b, off, np.int32(min_len), tri, perm, nk)]
 
             def mk_wide_dec(k):
                 @jax.jit
                 def fn():
                     def body(carry, _):
-                        p = d_pl.at[0].set(carry)
-                        o = decode_wide_pallas(p, d_offs, d_nk, d_t7,
-                                               d_t12, d_s0, int(t12.size))
+                        p = d_pl.at[0, 0].set(carry)
+                        o = decode_wide_pallas(
+                            p, *dd, mcl=mcl, two_row_perm=perm.size > 128)
                         return o[0, 0].astype(jnp.uint32), o[0, 1]
                     c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=k)
                     return c

@@ -43,6 +43,19 @@ def main():
                 elif kind == "take_sub":
                     idx8 = jnp.clip(x & 7, 0, T - 1)
                     x = jnp.take_along_axis(x, idx8, axis=0) + i
+                elif kind == "roll16":
+                    x = jnp.roll(x, 16, axis=1) + i
+                elif kind == "roll_row":
+                    x = jnp.roll(x, 1, axis=0) + i
+                elif kind == "take_clipk":
+                    # butterfly-style: static clipped iota index
+                    x = jnp.take_along_axis(
+                        x, jnp.clip(lane + 16, 0, 127), axis=1) + i
+                elif kind == "take_affine":
+                    # affine traced index: lane + scalar (from x[0,0])
+                    s = x[0, 0] & 63
+                    x = jnp.take_along_axis(x, (lane + s) & 127,
+                                            axis=1) + i
             o_ref[:] = x
 
         @jax.jit
@@ -70,8 +83,10 @@ def main():
         r()
         return min(r() for _ in range(3))
 
-    for kind in ("add", "where", "shift", "roll1", "take_const",
-                 "take_dyn", "take_sub"):
+    kinds = os.environ.get(
+        "HUFF_KINDS", "add,where,shift,roll1,roll16,roll_row,take_const,"
+        "take_clipk,take_affine,take_dyn,take_sub").split(",")
+    for kind in kinds:
         t1 = t_of(kind, 8)
         t2 = t_of(kind, 40)
         per = (t2 - t1) / 32 / G

@@ -215,6 +215,48 @@ class Codebook:
             lens[base: base + span] = L
         return syms, lens
 
+    def canonical_decode_arrays(self):
+        """(lim_b, off, perm, min_len): arithmetic canonical decoding.
+
+        Canonical codes are monotone in left-aligned value, so the code
+        LENGTH of a 32-bit MSB-aligned peek v is determined by pure
+        compares — no length table at all:
+
+            len = min_len + sum_{L} [v > lim_b[L]]       (L = 1..14)
+            sym = perm[(v >> (32 - len)) + off[len]]
+
+        lim_b[L] is the largest left-aligned 32-bit value whose code is
+        <= L bits, XOR-0x80000000-biased into int32 so the TPU kernel's
+        signed compares order uint32 values correctly; entries outside
+        [min_len, max_len) are int32-max (indicator 0).  off[L] =
+        (# codes shorter than L) - first_code[L].  perm holds the symbols
+        in canonical order, zero-padded to a multiple of 128.
+        """
+        lens = self.lengths.astype(np.int64)
+        counts = np.bincount(lens[lens > 0], minlength=17)[:17]
+        order = np.lexsort((np.arange(NUM_SYMBOLS), lens))
+        live = order[lens[order] > 0]
+        n_live = int(live.size)
+        min_len = int(lens[live[0]]) if n_live else 1
+        max_len = int(lens.max(initial=0))
+        first = np.zeros(17, np.int64)     # canonical first code per length
+        for L in range(1, 17):
+            first[L] = (first[L - 1] + counts[L - 1]) << 1
+        lim_b = np.full(16, np.int32(0x7FFFFFFF), np.int32)
+        off = np.zeros(16, np.int32)
+        cum = 0
+        for L in range(1, max_len + 1):
+            off[L] = np.int32(cum - first[L])
+            cum += int(counts[L])
+            if min_len <= L < max_len:
+                # largest left-aligned value with code length <= L
+                bound = ((first[L] + counts[L]) << (32 - L)) - 1
+                lim_b[L] = np.int32(np.uint32(bound) ^ np.uint32(1 << 31))
+        pad = -(-max(n_live, 1) // 128) * 128
+        perm = np.zeros(pad, np.int32)
+        perm[:n_live] = live
+        return lim_b, off, perm, min_len
+
     def two_level_tables(self, hi_bits: int = 7, lo_bits: int = 12):
         """(t7, t12, s0): split decode tables for the wide device decoder.
 

@@ -24,12 +24,15 @@ Layout (all integers little-endian):
   ...           payload: ceil(total_bits/32) words, each stored big-endian
                 (so the payload bytes are exactly the MSB-first bitstream)
 
-Version 2 (the WIDE interleaved format, golden/wide_codec.py): the same
-header with block_bytes := the tile size, total_bits := payload words * 32
-and num_blocks := the tile count; the per-block table holds per-TILE
-payload word counts, and the payload is the word-aligned concatenation of
-tile payloads (words little-endian: they are schedule-ordered machine
-words, not a bitstream).
+Version 3 (the WIDE interleaved format v2, golden/wide_codec.py): the
+same header with block_bytes := the tile size, total_bits := payload
+words * 32 and num_blocks := the tile count; the per-block table holds
+per-TILE payload PLANE word counts (u32 each), followed by the per-tile
+per-round pull-index bases (ROUNDS u16 per tile — plane words per tile
+are < 2^16 by construction), and the payload is the word-aligned
+concatenation of tile payloads, each tile stored as plane P0 then plane
+P1 (words little-endian: they are schedule-ordered machine words, not a
+bitstream).  Version 2 (wide v1) is retired.
 """
 
 from __future__ import annotations
@@ -90,38 +93,44 @@ def loads(blob: bytes) -> Encoded:
                    n_bytes=n_bytes, config=cfg)
 
 
+WIDE_VERSION = 3
+
+
 def dumps_wide(enc) -> bytes:
-    """Serialize a wide.WideEncoded stream (container version 2)."""
-    from .golden.wide_codec import TILE_BYTES
-    header = _HEADER.pack(MAGIC, 2, 0, enc.n_bytes, TILE_BYTES,
+    """Serialize a wide.WideEncoded stream (container version 3)."""
+    from .golden.wide_codec import ROUNDS, TILE_BYTES
+    header = _HEADER.pack(MAGIC, WIDE_VERSION, 0, enc.n_bytes, TILE_BYTES,
                           enc.config.max_code_len,
                           int(enc.payload_words.size) * 32,
                           len(enc.tile_words))
     lens = np.asarray(enc.codebook.lengths, dtype=np.uint8).tobytes()
     counts = np.asarray(enc.tile_words, dtype=np.uint32).tobytes()
+    bases = np.asarray(enc.bases, dtype=np.uint16)
+    if bases.shape != (len(enc.tile_words), ROUNDS):
+        raise ValueError("bases shape mismatch")
     payload = np.ascontiguousarray(enc.payload_words,
                                    dtype=np.uint32).tobytes()
-    return header + lens + counts + payload
+    return header + lens + counts + bases.tobytes() + payload
 
 
 def loads_wide(blob: bytes):
-    """Deserialize container version 2 to wide.WideEncoded."""
+    """Deserialize container version 3 to wide.WideEncoded."""
     from .wide import WideEncoded
-    from .golden.wide_codec import MAXLEN, TILE_BYTES
+    from .golden.wide_codec import MAXLEN, ROUNDS, TILE_BYTES
     magic, ver, _f, n_bytes, tile, max_code_len, bits, nt = \
         _HEADER.unpack_from(blob, 0)
-    if magic != MAGIC or ver != 2:
-        raise ValueError("not a version-2 (wide) HTZ container")
+    if magic != MAGIC or ver != WIDE_VERSION:
+        raise ValueError(f"not a version-{WIDE_VERSION} (wide) HTZ container")
     # The stored tile size and code-length cap gate the decode kernels:
     # a different TILE_BYTES (future format rev) or an oversized
-    # max_code_len would silently misdecode / unroll a 2**len-entry table.
+    # max_code_len would silently misdecode the payload.
     if tile != TILE_BYTES:
         raise ValueError(
             f"wide container tile size {tile} != supported {TILE_BYTES}")
     if not (1 <= max_code_len <= MAXLEN):
         raise ValueError(
             f"wide container max_code_len {max_code_len} outside [1, {MAXLEN}]")
-    if len(blob) < overhead_bytes(nt) + 4 * (bits // 32):
+    if len(blob) < overhead_bytes(nt) + 2 * ROUNDS * nt + 4 * (bits // 32):
         raise ValueError("truncated HTZ container")
     off = _HEADER.size
     lens = np.frombuffer(blob, dtype=np.uint8, count=256, offset=off)
@@ -129,12 +138,16 @@ def loads_wide(blob: bytes):
     counts = np.frombuffer(blob, dtype=np.uint32, count=nt,
                            offset=off).astype(np.int32)
     off += 4 * nt
+    bases = np.frombuffer(blob, dtype=np.uint16, count=nt * ROUNDS,
+                          offset=off).astype(np.int32).reshape(nt, ROUNDS)
+    off += 2 * ROUNDS * nt
     words = np.frombuffer(blob, dtype=np.uint32, count=bits // 32,
                           offset=off)
     cfg = CodecConfig(max_code_len=max_code_len)
     cb = Codebook.from_lengths(lens.astype(np.int32))
     return WideEncoded(payload_words=words.copy(), tile_words=counts,
-                       codebook=cb, n_bytes=n_bytes, config=cfg)
+                       bases=bases, codebook=cb, n_bytes=n_bytes,
+                       config=cfg)
 
 
 def container_version(blob: bytes) -> int:
@@ -155,7 +168,8 @@ def load(path: str):
     """Load either container version (dense Encoded or WideEncoded)."""
     with open(path, "rb") as f:
         blob = f.read()
-    return loads_wide(blob) if container_version(blob) == 2 else loads(blob)
+    return (loads_wide(blob) if container_version(blob) == WIDE_VERSION
+            else loads(blob))
 
 
 def overhead_bytes(num_blocks: int) -> int:

@@ -1,4 +1,4 @@
-"""NumPy golden codec for the WIDE (interleaved) container format.
+"""NumPy golden codec for the WIDE (interleaved) container format, v2.
 
 This file IS the format specification; the Mosaic kernels
 (ops/pallas/wide.py) are verified bit-for-bit against it.
@@ -13,24 +13,40 @@ so decode refills are one contiguous window read per step.  This is the
 TPU analogue of the interleaved-stream layouts used by production
 SIMD/GPU entropy codecs.
 
-Format v1
----------
+Format v2 (container version 3)
+-------------------------------
+v1 ran 256 reader rounds/tile (1 symbol each) with single-word pulls; on
+TPU the per-round vector cost is fixed, so v2 quarters the round count:
+
 * The byte stream is split into TILES of TILE_BYTES = 262144 bytes
-  (1024 substreams x 256 bytes).  Substream k of a tile owns its
-  contiguous byte range [256k, 256(k+1)); in a partial (last) tile,
-  substream k holds n_k = clamp(n_tile - 256k, 0, 256) bytes.
-* Symbols use a shared canonical Huffman codebook, max code length <= 12.
-* Tile payload: a sequence of 32-bit words.  A vector reader runs
-  SUB_BYTES = 256 rounds; each round j:
-    1. every substream k with (j < n_k) and fewer than MAXLEN=12 buffered
-       bits-remaining... precisely: avail_k < 12, pulls ONE word from the
-       payload; pulls within a round happen in increasing k;
-       the pulled 32 bits append to the substream's bit buffer
-       (avail_k += 32).  avail_k starts at 0.
-    2. every substream with j < n_k decodes one symbol, consuming len
-       bits MSB-first (avail_k -= len).
-* The tile's payload length in words is recorded in the container; tile
-  payloads are concatenated word-aligned.
+  (N_SUB = 1024 substreams x SUB_BYTES = 256 bytes).  Substream k of a
+  tile owns bytes [256k, 256(k+1)); in a partial (last) tile it holds
+  n_k = clamp(n_tile - 256k, 0, 256) bytes.
+* Symbols use a shared canonical Huffman codebook, max length <= MAXLEN.
+* Tile payload: TWO equal-length word PLANES P0 and P1 (stored
+  concatenated, P0 then P1).  A vector reader runs ROUNDS = 64 rounds;
+  each round j:
+    1. every substream k with (SPR*j < n_k) pulls ONE WORD PAIR iff
+           avail_k < THRESH  and  avail_k < mcl * (n_k - SPR*j)
+       where mcl is the codebook's actual max code length (the second
+       clause suppresses tail over-pulls: once the buffer provably covers
+       every remaining symbol, no more words are read — decoder-
+       replicable because it only uses the codebook and n_k).  The pair
+       is P0[p] and P1[p] at the substream's pull index p (pull indices
+       are assigned in increasing k within a round, and accumulate
+       across rounds).  The 64 bits (P0 word first) append to the
+       substream's bit buffer at position avail_k; avail_k += 64.
+       avail_k starts at 0.
+    2. it then decodes SPR = 4 symbols: for u in 0..3, if SPR*j+u < n_k,
+       consume one codeword MSB-first (avail_k -= len).
+* Invariants (THRESH = 48 >= SPR*MAXLEN, refill 64 > THRESH):
+  avail covers every symbol decoded in the round (>= 48 buffered, or
+  >= mcl * remaining), and avail <= 111 always — a 128-bit lane buffer
+  suffices.
+* The container records, per tile: the plane length in words (= total
+  pulls) and the 64 per-round pull-index bases (exclusive cumsum of
+  per-round pull counts) — the latter lets the decoder skip recomputing
+  the global pull cursor.
 """
 
 from __future__ import annotations
@@ -41,6 +57,9 @@ TILE_BYTES = 262144
 SUB_BYTES = 256
 N_SUB = TILE_BYTES // SUB_BYTES          # 1024
 MAXLEN = 12
+SPR = 4                                  # symbols decoded per round
+ROUNDS = SUB_BYTES // SPR                # 64
+THRESH = 48                              # pull when avail < THRESH
 
 
 def _substream_views(tile: np.ndarray):
@@ -52,22 +71,17 @@ def _substream_views(tile: np.ndarray):
     return buf.reshape(N_SUB, SUB_BYTES), n_k.astype(np.int64)
 
 
-def encode_tile(tile: np.ndarray, codes: np.ndarray, lengths: np.ndarray
-                ) -> np.ndarray:
-    """Encode one tile -> payload words (uint32). Vectorized simulation."""
+def substream_words(tile: np.ndarray, codes: np.ndarray,
+                    lengths: np.ndarray) -> list[np.ndarray]:
+    """Each substream's own bitstream as uint32 words (MSB-first)."""
     sub, n_k = _substream_views(np.ascontiguousarray(tile, np.uint8))
-    lens = lengths[sub].astype(np.int64)             # (N_SUB, SUB_BYTES)
+    lens = lengths[sub].astype(np.int64)
     cods = codes[sub].astype(np.uint64)
-    # substream bitstrings as arrays of words, built incrementally in the
-    # same schedule simulation that orders the payload.
-    avail = np.zeros(N_SUB, np.int64)
-    # per-substream bit cursor into its own concatenated bitstring
-    # (we materialize each substream's bitstring first)
-    sub_bits = []
+    out = []
     for k in range(N_SUB):
         nk = int(n_k[k])
         total = int(lens[k, :nk].sum())
-        words = np.zeros((total + 31) // 32 + 1, np.uint64)
+        words = np.zeros((total + 31) // 32 + 2, np.uint64)
         cur = 0
         for j in range(nk):
             L = int(lens[k, j]); c = int(cods[k, j])
@@ -76,63 +90,104 @@ def encode_tile(tile: np.ndarray, codes: np.ndarray, lengths: np.ndarray
             words[base] |= (v >> 32) & 0xFFFFFFFF
             words[base + 1] |= v & 0xFFFFFFFF
             cur += L
-        sub_bits.append(words.astype(np.uint32))
+        out.append(words.astype(np.uint32))
+    return out
+
+
+def encode_tile(tile: np.ndarray, codes: np.ndarray, lengths: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode one tile -> (P0 words, P1 words, round bases (ROUNDS,) i32).
+
+    Reference simulation of the reader schedule (the spec)."""
+    sub, n_k = _substream_views(np.ascontiguousarray(tile, np.uint8))
+    lens = lengths[sub].astype(np.int64)
+    sub_bits = substream_words(tile, codes, lengths)
+    mcl = int(np.max(lengths))
+    avail = np.zeros(N_SUB, np.int64)
     wcur = np.zeros(N_SUB, np.int64)
-    payload = []
-    for j in range(SUB_BYTES):
-        active = j < n_k
-        pull = active & (avail < MAXLEN)
+    p0, p1 = [], []
+    bases = np.zeros(ROUNDS, np.int32)
+    for j in range(ROUNDS):
+        bases[j] = len(p0)
+        active = (SPR * j) < n_k
+        pull = active & (avail < THRESH) & (avail < mcl * (n_k - SPR * j))
         for k in np.flatnonzero(pull):
-            w = sub_bits[k][wcur[k]] if wcur[k] < len(sub_bits[k]) else 0
-            payload.append(np.uint32(w))
-            wcur[k] += 1
-        avail = np.where(pull, avail + 32, avail)
-        avail = np.where(active, avail - lens[:, j] * active, avail)
-    return np.asarray(payload, np.uint32)
+            w = sub_bits[k]
+            c = int(wcur[k])
+            p0.append(np.uint32(w[c] if c < len(w) else 0))
+            p1.append(np.uint32(w[c + 1] if c + 1 < len(w) else 0))
+            wcur[k] += 2
+        avail = np.where(pull, avail + 64, avail)
+        for u in range(SPR):
+            s = SPR * j + u
+            avail = avail - np.where(s < n_k, lens[:, s], 0)
+    return (np.asarray(p0, np.uint32), np.asarray(p1, np.uint32), bases)
 
 
-def decode_tile(payload: np.ndarray, n_tile: int, table_syms: np.ndarray,
-                table_lens: np.ndarray, table_bits: int) -> np.ndarray:
-    """Decode one tile payload -> n_tile bytes (the reader specification)."""
+def decode_tile(p0: np.ndarray, p1: np.ndarray, n_tile: int,
+                table_syms: np.ndarray, table_lens: np.ndarray,
+                table_bits: int, mcl: int) -> np.ndarray:
+    """Decode one tile's planes -> n_tile bytes (the reader specification).
+
+    mcl must be the SAME max-code-length value the encoder used (the
+    codebook's actual max length) — it enters the pull rule."""
     n_k = np.clip(n_tile - np.arange(N_SUB) * SUB_BYTES, 0, SUB_BYTES)
-    hi = np.zeros(N_SUB, np.uint64)      # 64-bit lookahead, MSB-aligned
+    hi = np.zeros(N_SUB, np.uint64)        # top 64 bits, MSB-aligned
+    lo = np.zeros(N_SUB, np.uint64)        # next 64 bits
     avail = np.zeros(N_SUB, np.int64)
     out = np.zeros((N_SUB, SUB_BYTES), np.uint8)
     pos = 0
-    pl_pad = np.concatenate([payload.astype(np.uint64),
-                             np.zeros(N_SUB * 2, np.uint64)])
-    for j in range(SUB_BYTES):
-        active = j < n_k
-        pull = active & (avail < MAXLEN)
+    pad = np.zeros(N_SUB * 2, np.uint32)
+    p0 = np.concatenate([p0, pad]).astype(np.uint64)
+    p1 = np.concatenate([p1, pad]).astype(np.uint64)
+    for j in range(ROUNDS):
+        active = (SPR * j) < n_k
+        pull = active & (avail < THRESH) & (avail < mcl * (n_k - SPR * j))
         idxs = np.flatnonzero(pull)
-        words = pl_pad[pos: pos + len(idxs)]
+        w64 = (p0[pos: pos + len(idxs)] << np.uint64(32)) \
+            | p1[pos: pos + len(idxs)]
         pos += len(idxs)
-        hi[idxs] |= words << np.uint64(32) >> avail[idxs].astype(np.uint64)
-        avail = np.where(pull, avail + 32, avail)
-        win = (hi >> np.uint64(64 - table_bits)).astype(np.int64)
-        sym = table_syms[win]
-        ln = np.where(active, table_lens[win].astype(np.int64), 0)
-        out[:, j] = np.where(active, sym, 0)
-        hi = hi << ln.astype(np.uint64)
-        avail -= ln
+        # insert 64 bits at bit position avail (<= 47) of the 128-bit
+        # (hi, lo) pair; shift amounts are masked &63 so masked-out lanes
+        # never evaluate an undefined uint64 shift
+        a = avail[idxs].astype(np.uint64)
+        hi[idxs] |= w64 >> a
+        lo[idxs] |= np.where(
+            a > 0, w64 << ((np.uint64(64) - a) & np.uint64(63)), 0
+        ).astype(np.uint64)
+        avail = np.where(pull, avail + 64, avail)
+        for u in range(SPR):
+            s = SPR * j + u
+            act = s < n_k
+            win = (hi >> np.uint64(64 - table_bits)).astype(np.int64)
+            sym = table_syms[win]
+            ln = np.where(act, table_lens[win].astype(np.int64), 0)
+            out[:, s] = np.where(act, sym, 0)
+            lnu = ln.astype(np.uint64)
+            sh = (np.uint64(64) - lnu) & np.uint64(63)
+            hi = np.where(ln > 0, (hi << lnu) | (lo >> sh), hi)
+            lo = np.where(ln > 0, lo << lnu, lo)
+            avail -= ln
     return out.reshape(-1)[:n_tile]
 
 
-def encode(data, codes, lengths) -> tuple[list[np.ndarray], int]:
-    """Encode a byte stream -> (per-tile payload word arrays, n_bytes)."""
-    arr = (np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray))
+def encode(data, codes, lengths):
+    """Encode a byte stream -> (list of (P0, P1, bases) per tile, n_bytes)."""
+    arr = (np.frombuffer(data, np.uint8)
+           if isinstance(data, (bytes, bytearray))
            else np.ascontiguousarray(data, np.uint8).reshape(-1))
     tiles = [arr[i: i + TILE_BYTES] for i in range(0, max(len(arr), 1),
                                                    TILE_BYTES)]
     return [encode_tile(t, codes, lengths) for t in tiles], arr.size
 
 
-def decode(payloads, n_bytes: int, table_syms, table_lens,
-           table_bits: int) -> np.ndarray:
+def decode(tile_planes, n_bytes: int, table_syms, table_lens,
+           table_bits: int, mcl: int) -> np.ndarray:
     outs = []
     rem = n_bytes
-    for p in payloads:
+    for (p0, p1, _bases) in tile_planes:
         n_t = min(rem, TILE_BYTES)
-        outs.append(decode_tile(p, n_t, table_syms, table_lens, table_bits))
+        outs.append(decode_tile(p0, p1, n_t, table_syms, table_lens,
+                                table_bits, mcl))
         rem -= n_t
     return (np.concatenate(outs) if outs else np.zeros(0, np.uint8))[:n_bytes]

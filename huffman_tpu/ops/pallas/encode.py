@@ -253,7 +253,8 @@ def _expand_lens(alenc, S: int, it, n_chunks: int):
 
 
 def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
-                       stop_level: int = 10, max_code_len: int = 16):
+                       stop_level: int = 10, max_code_len: int = 16,
+                       capture_l2: bool = False):
     """Chunkwise encode of T blocks -> (4 chunks of (T,128) u32, lens).
 
     sym_chunks: 8 chunks of (T, 128) int32 byte symbols (1024 bytes/block,
@@ -270,6 +271,9 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     the lane count instead of doubling the spacing, so an 8-bit cap runs
     the whole tree in 2 chunks (256 lanes) instead of 4 — the per-level
     vector work halves with the chunk count.
+    capture_l2: also return the compact per-4-byte-item bit lengths (a
+    free mid-tree byproduct; the wide format's schedule scan consumes
+    it) — return value becomes (vals, lens, l2).
     """
     t = sym_chunks[0].shape[0]
     it = _iota128(t)
@@ -301,6 +305,7 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     item_bytes = 2
     S = 1
     n_stop = 1 << (10 - stop_level)
+    l2 = None
     # compacting merges: a merged pair still fits one word, so halve the
     # lane count (deinterleave + single-word OR) instead of spreading
     while (2 * item_bytes * max_code_len <= 32 and n_items > n_stop
@@ -314,6 +319,8 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
         alenc = [al + bl for al, bl in zip(a_l, b_l)]
         n_items //= 2
         item_bytes *= 2
+        if item_bytes == 4:
+            l2 = list(alenc)
     # standard doubling merges
     while n_items > n_stop:
         vals, alenc = merge_level_v2(vals, alenc, n_items, S, it,
@@ -321,8 +328,12 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
         n_items //= 2
         item_bytes *= 2
         S *= 2
+        if item_bytes == 4:
+            l2 = list(alenc)
 
     lens = _expand_lens(alenc, max(S, 1), it, len(vals))
+    if capture_l2:
+        return vals, lens, l2
     return vals, lens
 
 

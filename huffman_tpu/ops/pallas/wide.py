@@ -1,24 +1,40 @@
-"""Mosaic kernels for the WIDE (interleaved) container format.
+"""Mosaic kernels for the WIDE (interleaved) container format, v2.
 
-Format spec + golden oracle: golden/wide_codec.py.  Three device stages:
+Format spec + golden oracle: golden/wide_codec.py.  Two device stages on
+top of the substream encoder (ops/pallas/encode.py at stop_level 8):
 
-  * substream encode — the block encoder's merge tree stopped at level 8
-    (ops/pallas/encode.py stop_level): four 256-byte substream bitstreams
-    per 1 KiB row;
-  * schedule — a sequential simulation of the vector reader (256 rounds):
-    each round ranks the pulling lanes with a prefix count, compacts their
-    next words with a butterfly shuffle (rank-dense routing is
-    collision-free), and appends them to the tile payload.  This replaces
-    the dense format's bit-granular pack: payload words are stored in
-    exactly reader order, so no bit stitching exists at all;
-  * decode — the reader itself: per round, one contiguous refill window
-    read at a uniform cursor + an 8-way row-select gather hands every
-    pulling lane its word; a 12-bit canonical table lookup and a 64-bit
-    left shift consume one symbol per lane per round.  1024 symbols decode
-    per round across the vector unit.
+  * emit — materialize the payload planes in reader order.  The pull
+    SCHEDULE (who pulls in which round, and where the word-pair lands)
+    is precomputed OUTSIDE the kernel by a 64-step XLA scan over the
+    per-4-byte-group bit counts (wide._schedule_arrays); the kernel only
+    selects each pulling lane's next word pair and routes it to its
+    precomputed plane position with a butterfly compaction.
+  * decode — the vector reader: 64 rounds, 4 symbols/round/lane.
 
-All loops are lax.fori with dynamic ref slices: compile size stays small
-and every operation is a native VPU op (no scatters, no deep gathers).
+Both kernels are built from the op-cost model measured on v5e
+(experiments/probe_op_costs.py):
+
+  lane gather/roll on one (8,128) vreg  ~45-90 ns   <- minimize these
+  sublane gather (<=8 deep)             ~free
+  row roll / broadcast / ALU / select   ~free
+  (8,128)@(128,128) f32 MXU matmul      ~100 ns
+  7-lane-roll log-shift 128-lane prefix ~610 ns     <- never do this
+
+which dictates the three decode tricks:
+
+  1. rank (the pull prefix count) runs on the MXU: one f32 matmul with
+     an upper-triangular ones matrix gives every in-row inclusive
+     prefix; cross-row offsets are free row rolls.
+  2. the payload fetch exploits monotonicity: rel = base + rank is a
+     non-decreasing unit-step staircase, so within one destination row
+     the source spans at most TWO window rows — two free sublane
+     gathers build per-lane row candidates, two lane gathers finish.
+     Splitting each 64-bit pull across two planes (P0/P1) keeps the
+     staircase unit-step (one plane position per pull).
+  3. symbol decode is table-free arithmetic canonical decoding
+     (codebook.canonical_decode_arrays): code length from <= 14 scalar-
+     broadcast compares (free), symbol from one 128-entry permutation
+     gather (two + select when the alphabet exceeds 128 live symbols).
 """
 
 from __future__ import annotations
@@ -27,19 +43,248 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .encode import gather_chunks, _safe_shl, _safe_shr
+from .encode import _safe_shl, _safe_shr, _shl_u, _shr_u
 
 _U32 = jnp.uint32
 N_SUB = 1024            # substreams (lanes) per tile
 SUB_BYTES = 256
 TILE_BYTES = N_SUB * SUB_BYTES
 MAXLEN = 12
-SUB_WORDS = 128         # padded substream stream words (<= 96 used @12b)
-PAYLOAD_ROWS = 784      # max payload words/tile = 98304/128 rows + slack
+SPR = 4                 # symbols per round
+ROUNDS = SUB_BYTES // SPR
+THRESH = 48
+SUB_WORDS = 128         # padded substream stream words (<= 97 used @12b)
+PLANE_ROWS = 384        # max plane words/tile = 49152 / 128 lanes
+_PBUF_ROWS = PLANE_ROWS + 24   # window slack (16) + 8-row alignment
 
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _rank_mxu(pull, tri_ref):
+    """(rank, rank_row0): exclusive flat prefix count of a bool mask.
+
+    In-row inclusive prefix via ONE MXU matmul against an upper-
+    triangular ones matrix (f32 is exact for counts <= 1024); row
+    offsets via free row rolls.  rank_row0 broadcasts each row's first-
+    lane rank to every lane (needed by the fetch's row-candidate trick).
+    """
+    m = pull.astype(jnp.float32)
+    incl = jax.lax.dot_general(m, tri_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    row_tot = jnp.broadcast_to(incl[:, 127:128], pull.shape)
+    row = jax.lax.broadcasted_iota(jnp.int32, pull.shape, 0)
+    y = row_tot
+    for k in (1, 2, 4):
+        y = y + jnp.where(row >= k, jnp.roll(y, k, axis=0), 0.0)
+    excl_rows = (y - row_tot).astype(jnp.int32)
+    rank = (incl - m).astype(jnp.int32) + excl_rows
+    return rank, excl_rows
+
+
+def _fetch_plane(pbuf_ref, b8, lanei, rowi, rfull):
+    """One plane's pulled words: window rows [b8, b8+16) of pbuf_ref.
+
+    rel = goff + rank is a monotone unit-step staircase, so each
+    destination row needs only window rows {rfull, rfull+1}: two free
+    sublane gathers build the candidates, two lane gathers select."""
+    wa = pbuf_ref[pl.ds(b8, 8), :]
+    wb = pbuf_ref[pl.ds(pl.multiple_of(b8 + 8, 8), 8), :]
+    r7 = rfull & 7
+    a = jnp.where(rfull < 8, jnp.take_along_axis(wa, r7, axis=0),
+                  jnp.take_along_axis(wb, r7, axis=0))
+    rp = rfull + 1
+    rp7 = rp & 7
+    b = jnp.where(rp < 8, jnp.take_along_axis(wa, rp7, axis=0),
+                  jnp.take_along_axis(wb, rp7, axis=0))
+    ga = jnp.take_along_axis(a, lanei, axis=1)
+    gb = jnp.take_along_axis(b, lanei, axis=1)
+    return jnp.where(rowi == rfull, ga, gb)
+
+
+def _decode_wide_kernel(roff0_ref, g0a_ref, roff1_ref, g0b_ref, bases_ref,
+                        lim_ref, off_ref, lb_ref, tri_ref, perm_ref, nk_ref,
+                        payload_ref, out_ref, pbuf0_ref, pbuf1_ref, sems, *,
+                        mcl: int, two_row_perm: bool):
+    i = pl.program_id(0)
+    c0 = pltpu.make_async_copy(
+        payload_ref.at[pl.ds(pl.multiple_of(roff0_ref[i], 8), _PBUF_ROWS), :],
+        pbuf0_ref, sems.at[0])
+    c1 = pltpu.make_async_copy(
+        payload_ref.at[pl.ds(pl.multiple_of(roff1_ref[i], 8), _PBUF_ROWS), :],
+        pbuf1_ref, sems.at[1])
+    c0.start()
+    c1.start()
+    c0.wait()
+    c1.wait()
+
+    nk = nk_ref[:]
+    g0a = g0a_ref[i]
+    g0b = g0b_ref[i]
+    lims = [lim_ref[L] for L in range(16)]
+    offs = [off_ref[L] for L in range(16)]
+    lenbase = lb_ref[0]
+    bias = _U32(1) << _U32(31)
+
+    def round_body(j, carry):
+        b0, b1, b2, b3, avail = carry
+        rem = nk - SPR * j
+        pull = (avail < THRESH) & (avail < mcl * rem) & (rem > 0)
+        rank, rank0 = _rank_mxu(pull, tri_ref)
+
+        base_j = bases_ref[i * ROUNDS + j]
+        # plane 0 window coordinates (plane 1 shares rank, differs by g0)
+        words = []
+        for (g0, pbuf) in ((g0a, pbuf0_ref), (g0b, pbuf1_ref)):
+            gp = g0 + base_j
+            b8 = pl.multiple_of((gp >> 7) & ~jnp.int32(7), 8)
+            goff = gp - (b8 << 7)
+            rel = goff + rank
+            lanei = rel & 127
+            rowi = rel >> 7
+            rfull = (goff + rank0) >> 7
+            w = _fetch_plane(pbuf, b8, lanei, rowi, rfull)
+            words.append(jnp.where(pull, w, _U32(0)))
+        w0, w1 = words
+
+        # append 64 bits (w0 then w1) at bit position avail (<= 47) of the
+        # 128-bit (b0..b3) buffer — all free ALU
+        for t in range(3):
+            sh = avail - 32 * t
+            piece = _safe_shr(w0, sh) | _safe_shl(w0, -sh)
+            if t == 0:
+                b0 = b0 | piece
+            elif t == 1:
+                b1 = b1 | piece
+            else:
+                b2 = b2 | piece
+        for t in range(1, 4):
+            sh = avail - 32 * (t - 1)
+            piece = _safe_shr(w1, sh) | _safe_shl(w1, -sh)
+            if t == 1:
+                b1 = b1 | piece
+            elif t == 2:
+                b2 = b2 | piece
+            else:
+                b3 = b3 | piece
+        avail = jnp.where(pull, avail + 64, avail)
+
+        acc = jnp.zeros((8, 128), _U32)
+        for u in range(SPR):
+            act = (SPR * j + u) < nk
+            vb = (b0 ^ bias).astype(jnp.int32)
+            lv = None
+            for L in range(1, 16):
+                ind = (vb > lims[L]).astype(jnp.int32)
+                lv = ind if lv is None else lv + ind
+            lv = lv + lenbase
+            ov = jnp.zeros((8, 128), jnp.int32)
+            for L in range(1, 16):
+                ov = jnp.where(lv == L, offs[L], ov)
+            idx = (_shr_u(b0, 32 - lv)).astype(jnp.int32) + ov
+            if two_row_perm:
+                lo = jnp.clip(idx, 0, 255)
+                p0 = jnp.broadcast_to(perm_ref[0:1, :], (8, 128))
+                p1 = jnp.broadcast_to(perm_ref[1:2, :], (8, 128))
+                s0 = jnp.take_along_axis(p0, lo & 127, axis=1)
+                s1 = jnp.take_along_axis(p1, lo & 127, axis=1)
+                sym = jnp.where(lo < 128, s0, s1)
+            else:
+                lo = jnp.clip(idx, 0, 127)
+                sym = jnp.take_along_axis(
+                    jnp.broadcast_to(perm_ref[0:1, :], (8, 128)), lo,
+                    axis=1)
+            ln = jnp.where(act, lv, 0)
+            acc = (acc << _U32(8)) | jnp.where(act, sym, 0).astype(_U32)
+            # consume: 128-bit left funnel shift by ln
+            b0 = _safe_shl(b0, ln) | _safe_shr(b1, 32 - ln)
+            b1 = _safe_shl(b1, ln) | _safe_shr(b2, 32 - ln)
+            b2 = _safe_shl(b2, ln) | _safe_shr(b3, 32 - ln)
+            b3 = _safe_shl(b3, ln)
+            avail = avail - ln
+
+        # round j's words land in rows [8j, 8j+8): dynamic stores must be
+        # 8-row aligned on TPU (lane-offset dynamic stores are not)
+        out_ref[pl.ds(pl.multiple_of(8 * j, 8), 8), :] = acc.astype(jnp.int32)
+        return b0, b1, b2, b3, avail
+
+    z = jnp.zeros((8, 128), _U32)
+    jax.lax.fori_loop(0, ROUNDS, round_body,
+                      (z, z, z, z, jnp.zeros((8, 128), jnp.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("mcl", "two_row_perm",
+                                             "interpret"))
+def decode_wide_pallas(payload: jax.Array, roff0: jax.Array,
+                       g0a: jax.Array, roff1: jax.Array, g0b: jax.Array,
+                       bases: jax.Array, lim_b: jax.Array, off: jax.Array,
+                       min_len: jax.Array, tri: jax.Array, perm: jax.Array,
+                       n_k: jax.Array, mcl: int, two_row_perm: bool,
+                       interpret: bool = False):
+    """Decode wide-v2 payload planes.
+
+    payload: (R, 128) u32 — the container payload (tiles concatenated,
+      each tile = P0 then P1) reshaped to rows, padded with >= _PBUF_ROWS
+      trailing zero rows.
+    roff0/g0a, roff1/g0b: (NT,) i32 — per tile, each plane's window row
+      (8-row aligned) and in-window word offset.
+    bases: (NT*ROUNDS,) i32 per-round pull-index bases (container data).
+    lim_b/off/min_len/perm: codebook.canonical_decode_arrays outputs.
+    tri: (128,128) f32 upper-triangular ones (the MXU prefix operand).
+    n_k: (NT*8, 128) i32 per-substream valid byte counts.
+    mcl: static actual max code length (enters the pull rule).
+    Returns (NT*ROUNDS*8, 128) i32 — 4 big-endian bytes per word; word j
+    of tile t's substream 128*s + l at [(t*ROUNDS + j)*8 + s, l].
+    """
+    nt = roff0.shape[0]
+    permb = jnp.zeros(256, jnp.int32).at[: perm.shape[0]].set(
+        perm.astype(jnp.int32)).reshape(2, 128)
+    permb = jnp.concatenate([permb, jnp.zeros((6, 128), jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec((ROUNDS * 8, 128),
+                               lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_PBUF_ROWS, 128), _U32),
+            pltpu.VMEM((_PBUF_ROWS, 128), _U32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_wide_kernel, mcl=mcl,
+                          two_row_perm=two_row_perm),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt * ROUNDS * 8, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(roff0.astype(jnp.int32), g0a.astype(jnp.int32),
+      roff1.astype(jnp.int32), g0b.astype(jnp.int32),
+      bases.astype(jnp.int32), lim_b.astype(jnp.int32),
+      off.astype(jnp.int32), min_len.astype(jnp.int32).reshape(1),
+      tri.astype(jnp.float32), permb, n_k.astype(jnp.int32), payload)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# emit (encode): route word pairs to precomputed plane positions
+# ---------------------------------------------------------------------------
 
 def _flat_roll_right(x, n):
     """Roll a (R,128) array right by n positions over row-major flattening.
@@ -56,330 +301,167 @@ def _flat_roll_right(x, n):
     return jnp.where(lane >= n, a, b)
 
 
-def _prefix_sum_flat(vals):
-    """Exclusive prefix SUM of int32 over (8,128) in row-major order.
-
-    Pure VPU log-shift cumsum: per-round MXU matmuls have far too much
-    fixed latency for a 256-round loop.  With two sub-16-bit counts packed
-    in the lo/hi halves of each int32, one pass prefixes both at once
-    (counts <= 1024 per half: no cross-half carry).
-    """
-    lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
-    incl = vals
-    for k in (1, 2, 4, 8, 16, 32, 64):
-        incl = incl + jnp.where(lane >= k, jnp.roll(incl, k, axis=1), 0)
-    row_tot = jnp.broadcast_to(incl[:, 127:128], vals.shape)
-    row = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0)
-    x = row_tot
-    for k in (1, 2, 4):
-        x = x + jnp.where(row >= k, jnp.roll(x, k, axis=0), 0)
-    excl_rows = x - row_tot
-    return incl - vals + excl_rows
-
-
-def _prefix_flat(mask):
-    """Exclusive prefix count of a bool mask (flat row-major order)."""
-    return _prefix_sum_flat(mask.astype(jnp.int32))
-
-
-def _butterfly_compact(vals, mask, rank):
-    """Move vals[i] (row-major flat i over (8,128)) to flat position
+def _butterfly_compact2(v0, v1, mask, rank):
+    """Move (v0[i], v1[i]) (row-major flat i over (8,128)) to flat position
     rank[i] for masked lanes; rank must be the exclusive prefix count of
     mask (dense ranks — LSB-first butterfly routing is collision-free).
+    Routes BOTH value planes on one shared (disp, valid) track.
     Unmasked output positions are zero."""
-    flat = (jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) * 128
-            + jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1))
+    flat = (jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1))
     disp = jnp.where(mask, flat - rank, 0)
-    v = jnp.where(mask, vals, _U32(0))
+    a0 = jnp.where(mask, v0, _U32(0))
+    a1 = jnp.where(mask, v1, _U32(0))
     valid = mask
     for k in range(10):
         bit = 1 << k
-        move = valid & ((disp & bit) != 0)
-        # element at flat j+bit moves to j: shift arrays left by `bit`
-        def shl(a, fill):
+
+        def shl(arr, fill):
             if bit < 128:
-                lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
-                x = jnp.take_along_axis(a, jnp.clip(lane + bit, 0, 127),
+                lane = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
+                x = jnp.take_along_axis(arr, jnp.clip(lane + bit, 0, 127),
                                         axis=1)
-                dn = jnp.roll(a, -1, axis=0)
-                row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-                dn = jnp.where(row == a.shape[0] - 1,
-                               jnp.full_like(a, fill), dn)
+                dn = jnp.roll(arr, -1, axis=0)
+                row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+                dn = jnp.where(row == arr.shape[0] - 1,
+                               jnp.full_like(arr, fill), dn)
                 y = jnp.take_along_axis(dn, jnp.clip(lane + bit - 128,
                                                      0, 127), axis=1)
                 return jnp.where(lane < 128 - bit, x, y)
             r = bit // 128
-            dn = jnp.roll(a, -r, axis=0)
-            row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-            return jnp.where(row < a.shape[0] - r, dn,
-                             jnp.full_like(a, fill))
-        in_v = shl(v, 0)
+            dn = jnp.roll(arr, -r, axis=0)
+            row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+            return jnp.where(row < arr.shape[0] - r, dn,
+                             jnp.full_like(arr, fill))
+
+        move = valid & ((disp & bit) != 0)
+        in_0 = shl(a0, 0)
+        in_1 = shl(a1, 0)
         in_disp = shl(disp, 0)
-        in_valid = shl(move.astype(jnp.int32), 0) & shl(
-            valid.astype(jnp.int32), 0)
-        incoming = in_valid != 0
+        in_valid = (shl(move.astype(jnp.int32), 0)
+                    & shl(valid.astype(jnp.int32), 0)) != 0
         stay = valid & ~move
-        v = jnp.where(incoming, in_v, jnp.where(stay, v, _U32(0)))
-        disp = jnp.where(incoming, in_disp - bit, jnp.where(stay, disp, 0))
-        valid = incoming | stay
-    return v
+        a0 = jnp.where(in_valid, in_0, jnp.where(stay, a0, _U32(0)))
+        a1 = jnp.where(in_valid, in_1, jnp.where(stay, a1, _U32(0)))
+        disp = jnp.where(in_valid, in_disp - bit,
+                         jnp.where(stay, disp, 0))
+        valid = in_valid | stay
+    return a0, a1
 
 
-def _lens_lookup(table_ref, sym):
-    """(8,128) symbol -> code length via two lane-gathers (table rows
-    0-1 hold lengths of symbols 0..127 / 128..255)."""
-    t = sym.shape[0]
-    t0 = jnp.broadcast_to(table_ref[0:1, :], (t, 128))
-    t1 = jnp.broadcast_to(table_ref[1:2, :], (t, 128))
-    lo = sym & 127
-    g0 = jnp.take_along_axis(t0, lo, axis=1)
-    g1 = jnp.take_along_axis(t1, lo, axis=1)
-    return jnp.where(sym < 128, g0, g1)
-
-
-def _schedule_kernel(ltab_ref, bytes_ref, streams_ref, nk_ref, out_ref,
-                     cnt_ref):
-    """One tile: simulate the reader, emit payload words in pull order."""
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    zero = jnp.zeros((8, 128), jnp.int32)
+def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
+                 out1_ref):
+    """One tile: select each pulling lane's word pair, compact to plane
+    positions.  The schedule (pos, bases, per-round counts) is
+    precomputed (wide._schedule_arrays)."""
+    i = pl.program_id(0)
 
     def round_body(j, carry):
-        avail, wcur, pending, f, row_base = carry
-        wsel = bytes_ref[:, pl.ds((j >> 2) * 128, 128)]
-        shift = (3 - (j & 3)) * 8
-        sym = ((wsel >> shift.astype(_U32)) & _U32(255)).astype(jnp.int32)
-        active = j < nk_ref[:]
-        length = jnp.where(active, _lens_lookup(ltab_ref, sym), 0)
-        pull = (avail < MAXLEN) & active
-        rank = _prefix_flat(pull)
-        cnt = jnp.sum(jnp.where(pull, 1, 0))
+        wcur, pend0, pend1, f, row_base = carry
+        posj = pos_ref[pl.ds(pl.multiple_of(8 * j, 8), 8), :]
+        pull = posj >= 0
+        cnt = cnts_ref[i * ROUNDS + j]
+        rank = jnp.where(pull, posj - bases_ref[i * ROUNDS + j], 0)
 
-        # per-lane next stream word: streams[s, 128*wcur + l] — chunk wcur.
-        # Statically unrolled: fori-loop per-iteration overhead dominates a
-        # 256-round kernel.
-        word = jnp.zeros((8, 128), _U32)
-        for c in range(SUB_BYTES * MAXLEN // 32 + 2):    # wcur <= 97
+        # word-pair select: lane (s,l)'s words wcur, wcur+1 live at
+        # streams[s, 128*w + l]
+        sel0 = jnp.zeros((8, 128), _U32)
+        sel1 = jnp.zeros((8, 128), _U32)
+        for c in range(SUB_WORDS * MAXLEN // 16 + 3):      # wcur <= 97
             chunk = streams_ref[:, c * 128:(c + 1) * 128]
-            word = jnp.where(wcur == c, chunk, word)
+            sel0 = jnp.where(wcur == c, chunk, sel0)
+            sel1 = jnp.where(wcur == c - 1, chunk, sel1)
 
-        emitted = _butterfly_compact(word, pull, rank)
-        # append at fill level f into the 16-row pending buffer
-        emitted16 = jnp.concatenate(
-            [emitted, jnp.zeros((8, 128), _U32)], axis=0)
-        shifted = _flat_roll_right(emitted16, f & 127)
-        # row shift by the traced f>>7 (0..7): 8-way select of static rolls
+        e0, e1 = _butterfly_compact2(sel0, sel1, pull, rank)
+        # append at fill level f into the 16-row pending buffers
+        e016 = jnp.concatenate([e0, jnp.zeros((8, 128), _U32)], axis=0)
+        e116 = jnp.concatenate([e1, jnp.zeros((8, 128), _U32)], axis=0)
+        s0 = _flat_roll_right(e016, f & 127)
+        s1 = _flat_roll_right(e116, f & 127)
         rowoff = f >> 7
-        rolled = shifted
+        r0, r1 = s0, s1
         for k in range(1, 8):
-            cand = jnp.concatenate(
-                [jnp.zeros((k, 128), _U32), shifted[:16 - k]], axis=0)
-            rolled = jnp.where(rowoff == k, cand, rolled)
-        pending = pending | rolled
+            c0 = jnp.concatenate(
+                [jnp.zeros((k, 128), _U32), s0[:16 - k]], axis=0)
+            c1 = jnp.concatenate(
+                [jnp.zeros((k, 128), _U32), s1[:16 - k]], axis=0)
+            r0 = jnp.where(rowoff == k, c0, r0)
+            r1 = jnp.where(rowoff == k, c1, r1)
+        pend0 = pend0 | r0
+        pend1 = pend1 | r1
         f = f + cnt
 
         do_flush = f >= 1024
 
         @pl.when(do_flush)
         def _():
-            out_ref[pl.ds(row_base, 8), :] = pending[:8]
+            out0_ref[pl.ds(row_base, 8), :] = pend0[:8]
+            out1_ref[pl.ds(row_base, 8), :] = pend1[:8]
 
-        dropped = jnp.concatenate(
-            [pending[8:], jnp.zeros((8, 128), _U32)], axis=0)
-        pending = jnp.where(do_flush, dropped, pending)
+        drop0 = jnp.concatenate(
+            [pend0[8:], jnp.zeros((8, 128), _U32)], axis=0)
+        drop1 = jnp.concatenate(
+            [pend1[8:], jnp.zeros((8, 128), _U32)], axis=0)
+        pend0 = jnp.where(do_flush, drop0, pend0)
+        pend1 = jnp.where(do_flush, drop1, pend1)
         f = jnp.where(do_flush, f - 1024, f)
         row_base = jnp.where(do_flush, row_base + 8, row_base)
 
-        avail = jnp.where(pull, avail + 32, avail) - length
-        wcur = wcur + jnp.where(pull, 1, 0)
-        return avail, wcur, pending, f, row_base
+        wcur = wcur + 2 * pull.astype(jnp.int32)
+        return wcur, pend0, pend1, f, row_base
 
-    def round4(i, carry):
-        for k in range(4):                 # unroll: amortize loop overhead
-            carry = round_body(i * 4 + k, carry)
-        return carry
+    z = jnp.zeros((8, 128), jnp.int32)
+    z16 = jnp.zeros((16, 128), _U32)
+    wcur, pend0, pend1, f, row_base = jax.lax.fori_loop(
+        0, ROUNDS, round_body, (z, z16, z16, 0, 0))
 
-    avail, wcur, pending, f, row_base = jax.lax.fori_loop(
-        0, SUB_BYTES // 4, round4,
-        (zero, zero, jnp.zeros((16, 128), _U32), 0, 0))
-    out_ref[pl.ds(row_base, 8), :] = pending[:8]
-    cnt_ref[:] = jnp.broadcast_to(row_base * 128 + f, (8, 128))
+    # final partial flush; f == 0 implies row_base may already equal
+    # PLANE_ROWS (exactly-full tile) and there is nothing to write
+    @pl.when(f > 0)
+    def _():
+        out0_ref[pl.ds(row_base, 8), :] = pend0[:8]
+        out1_ref[pl.ds(row_base, 8), :] = pend1[:8]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def schedule_pallas(byte_words: jax.Array, streams_wm: jax.Array,
-                    lens_table: jax.Array, n_k: jax.Array,
-                    interpret: bool = False):
-    """Order substream words into wide-format tile payloads.
+def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
+                       bases: jax.Array, cnts: jax.Array,
+                       interpret: bool = False):
+    """Materialize payload planes from substream streams + schedule.
 
-    byte_words: (NT*8, 8192) u32 — tile bytes, word w of lane (s,l) at
-      [8t+s, 128*w + l], 4 big-endian bytes per word.
     streams_wm: (NT*8, 16384) u32 — substream streams word-major:
-      word w of lane (s,l) at [8t+s, 128*w + l].
-    lens_table: (8, 128) int32 — lengths LUT (rows 0-1).
-    n_k: (NT*8, 128) int32 valid byte counts.
-    Returns (payload (NT*PAYLOAD_ROWS, 128) u32, counts (NT,) i32 words).
+      word w of substream (s,l) of tile t at [8t+s, 128*w + l].
+    pos: (NT*ROUNDS*8, 128) i32 — plane position of each substream's pull
+      in round j (rows 8j..8j+8 of tile t's 512-row block), -1 = no pull.
+    bases/cnts: (NT*ROUNDS,) i32 — per-round pull-index base and count
+      (scalar prefetch).
+    Returns (P0, P1), each (NT*PLANE_ROWS, 128) u32 (live words per tile
+    = per-tile total pulls; rows beyond are unspecified).
     """
-    nt = byte_words.shape[0] // 8
-    out, cnt = pl.pallas_call(
-        _schedule_kernel,
+    nt = streams_wm.shape[0] // 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda i: (0, 0),
+            pl.BlockSpec((8, 16384), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 8192), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 16384), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((8 * ROUNDS, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((PAYLOAD_ROWS, 128), lambda i: (i, 0),
+            pl.BlockSpec((PLANE_ROWS, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((PLANE_ROWS, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nt * PAYLOAD_ROWS, 128), _U32),
-            jax.ShapeDtypeStruct((nt * 8, 128), jnp.int32),
-        ),
-        interpret=interpret,
-    )(lens_table, byte_words, streams_wm, n_k)
-    return out, cnt[::8, 0]
-
-
-def _decode_wide_kernel(roff_ref, g0_ref, s0_ref, t7_ref, t12_ref, nk_ref,
-                        payload_ref, out_ref, pbuf_ref, sem, *,
-                        t12_chunks: int):
-    """v2: two-level canonical table (codebook.two_level_tables).
-
-    Short codes (<= 7 bits, the common case by construction of Huffman
-    codes) resolve in ONE shallow gather against the 128-entry t7; only
-    the long-code suffix table t12 is chunk-scanned — s0 (the first long
-    code's 12-bit index) rebases it, so typical codebooks scan 1-4 chunks
-    instead of 32.
-    """
-    i = pl.program_id(0)
-    copy = pltpu.make_async_copy(
-        payload_ref.at[pl.ds(roff_ref[i], PAYLOAD_ROWS + 16), :],
-        pbuf_ref, sem)
-    copy.start()
-    copy.wait()
-    s0 = s0_ref[0]
-
-    def round_body(j, carry):
-        hi, lo, avail, g, acc = carry
-        active = j < nk_ref[:]
-        pull = (avail < MAXLEN) & active
-        rank = _prefix_flat(pull)
-        cnt = jnp.sum(jnp.where(pull, 1, 0))
-        base8 = (g >> 7) & ~jnp.int32(7)
-        w16 = pbuf_ref[pl.ds(base8, 16), :]
-        rel = (g - base8 * 128) + rank          # < 1024 + 1024 <= 2048
-        lanei = rel & 127
-        rowi = rel >> 7                          # 0..15
-        got = jnp.zeros((8, 128), _U32)
-        for k in range(16):
-            rowk = jnp.broadcast_to(w16[k:k + 1, :], (8, 128))
-            gk = jnp.take_along_axis(rowk, lanei, axis=1)
-            got = jnp.where(rowi == k, gk, got)
-        w = jnp.where(pull, got, _U32(0))
-        # append 32 bits at position avail of the (hi, lo) pair
-        hi = hi | jnp.where(pull, _safe_shr(w, avail), _U32(0))
-        lo = lo | jnp.where(pull, _safe_shl(w, 32 - avail), _U32(0))
-        avail = jnp.where(pull, avail + 32, avail)
-        g = g + cnt
-
-        p7 = (hi >> _U32(25)).astype(jnp.int32)
-        e7 = jnp.take_along_axis(
-            jnp.broadcast_to(t7_ref[0:1, :], (8, 128)), p7, axis=1)
-        i12 = (hi >> _U32(32 - MAXLEN)).astype(jnp.int32) - s0
-        e12 = jnp.zeros((8, 128), jnp.int32)
-        for c in range(t12_chunks):
-            chunk = t12_ref[:, c * 128:(c + 1) * 128]
-            gg = jnp.take_along_axis(chunk, jnp.clip(i12 - c * 128, 0, 127),
-                                     axis=1)
-            e12 = jnp.where((i12 >> 7) == c, gg, e12)
-        entry = jnp.where(e7 != 0, e7, e12)
-        length = jnp.where(active, entry & 31, 0)
-        sym = jnp.where(active, (entry >> 5) & 255, 0)
-        acc = (acc << _U32(8)) | sym.astype(_U32)
-
-        @pl.when(j % 4 == 3)
-        def _():
-            out_ref[:, pl.ds((j >> 2) * 128, 128)] = acc.astype(jnp.int32)
-        acc = jnp.where(j % 4 == 3, _U32(0), acc)
-
-        hi = _safe_shl(hi, length) | _safe_shr(lo, 32 - length)
-        lo = _safe_shl(lo, length)
-        avail = avail - length
-        return hi, lo, avail, g, acc
-
-    def round4(i4, carry):
-        for k in range(4):                 # unroll: amortize loop overhead
-            carry = round_body(i4 * 4 + k, carry)
-        return carry
-
-    z32 = jnp.zeros((8, 128), _U32)
-    jax.lax.fori_loop(0, SUB_BYTES // 4, round4,
-                      (z32, z32, jnp.zeros((8, 128), jnp.int32),
-                       g0_ref[i], z32))
-
-
-@functools.partial(jax.jit, static_argnames=("t12_size", "interpret"))
-def decode_wide_pallas(payload: jax.Array, tile_word_off: jax.Array,
-                       n_k: jax.Array, t7: jax.Array, t12: jax.Array,
-                       s0: jax.Array, t12_size: int,
-                       interpret: bool = False):
-    """Decode wide-format payloads.
-
-    payload: (NW,) u32 word-aligned concatenation of tile payloads.
-    tile_word_off: (NT,) int32 starting word of each tile's payload.
-    n_k: (NT*8, 128) int32 per-substream valid byte counts.
-    t7/t12/s0: two-level canonical tables (codebook.two_level_tables);
-    t12_size static = t12.shape[0] (power-of-two bucket).
-    Returns (NT*8, 8192) i32 — 4 big-endian bytes per word, word w of
-    substream (s,l) at [8t+s, 128*w + l].
-    """
-    nt = tile_word_off.shape[0]
-    nw = payload.shape[0]
-    rows = -(-nw // 128) + PAYLOAD_ROWS + 24
-    rows += (-rows) % 8
-    pl_pad = jnp.concatenate([payload.astype(_U32),
-                              jnp.zeros(rows * 128 - nw, _U32)])
-    pl2d = pl_pad.reshape(rows, 128)
-    roff = ((tile_word_off >> 7) & ~jnp.int32(7)).astype(jnp.int32)
-    g0 = (tile_word_off - roff * 128).astype(jnp.int32)
-    t7b = jnp.broadcast_to(t7.astype(jnp.int32)[None, :], (8, 128))
-    t12b = jnp.broadcast_to(t12.astype(jnp.int32)[None, :], (8, t12_size))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, t12_size), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        ],
-        out_specs=pl.BlockSpec((8, SUB_BYTES * 128 // 4),
-                               lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((PAYLOAD_ROWS + 16, 128), _U32),
-            pltpu.SemaphoreType.DMA,
-        ],
     )
-    out = pl.pallas_call(
-        functools.partial(_decode_wide_kernel,
-                          t12_chunks=t12_size // 128),
+    return pl.pallas_call(
+        _emit_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt * 8, SUB_BYTES * 128 // 4),
-                                       jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt * PLANE_ROWS, 128), _U32),
+            jax.ShapeDtypeStruct((nt * PLANE_ROWS, 128), _U32),
+        ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(roff, g0, s0.astype(jnp.int32).reshape(1), t7b, t12b, n_k, pl2d)
-    return out
+    )(bases.astype(jnp.int32), cnts.astype(jnp.int32), streams_wm, pos)

@@ -1,9 +1,13 @@
-"""Wide (interleaved) format: host/XLA orchestration around the kernels.
+"""Wide (interleaved) format v2: host/XLA orchestration around the kernels.
 
 Format spec: golden/wide_codec.py.  Kernels: ops/pallas/wide.py.  This is
 the TPU performance path for decode (the dense format's bit-concatenated
 stream cannot be vector-decoded efficiently); encode reuses the merge-tree
-kernel stopped at substream granularity.
+kernel stopped at substream granularity (ops/pallas/encode.py), and the
+pull SCHEDULE — who pulls a word pair in which round, and where it lands
+in the payload planes — is computed by a 64-step XLA scan over the
+per-4-byte-item bit lengths the encode kernel captures for free
+(encode_tree_chunks(capture_l2=True)).
 """
 
 from __future__ import annotations
@@ -17,14 +21,16 @@ import numpy as np
 
 from .codebook import Codebook
 from .config import CodecConfig, DEFAULT_CONFIG, cdiv
-from .golden.wide_codec import MAXLEN, N_SUB, SUB_BYTES, TILE_BYTES
+from .golden.wide_codec import (MAXLEN, N_SUB, ROUNDS, SPR, SUB_BYTES,
+                                THRESH, TILE_BYTES)
 
 
 @dataclasses.dataclass(frozen=True)
 class WideEncoded:
-    """A wide-format encoded stream (in-memory form of container v2)."""
-    payload_words: np.ndarray     # (sum tile_words,) uint32
-    tile_words: np.ndarray        # (NT,) int32 payload words per tile
+    """A wide-format encoded stream (in-memory form of container v3)."""
+    payload_words: np.ndarray     # per tile: P0 then P1, concatenated
+    tile_words: np.ndarray        # (NT,) int32 PLANE words per tile
+    bases: np.ndarray             # (NT, ROUNDS) int32 per-round pull bases
     codebook: Codebook
     n_bytes: int
     config: CodecConfig
@@ -63,37 +69,81 @@ def _sub_valid(n: int) -> np.ndarray:
     return np.clip(n - start, 0, SUB_BYTES).astype(np.int32)
 
 
+def _nk_device(valid_blocks, nt):
+    """(NB,) block valid bytes -> (NT*8, 128) substream valid counts.
+
+    Substream i of a 1 KiB block owns its bytes [256i, 256(i+1)); tile
+    substream number k = 4*block_in_tile + i sits at vreg position
+    (k >> 7, k & 127).
+    """
+    v = valid_blocks.astype(jnp.int32).reshape(-1, 1)
+    sub_off = jnp.arange(4, dtype=jnp.int32)[None, :] * SUB_BYTES
+    nk = jnp.clip(v - sub_off, 0, SUB_BYTES)
+    return nk.reshape(nt * 8, 128)
+
+
+def _schedule(l2: jax.Array, nk: jax.Array, mcl: int):
+    """Simulate the reader's pull schedule (spec: golden encode_tile).
+
+    l2: (NT, ROUNDS, N_SUB) i32 bits consumed by each substream in each
+      round (sum of its 4 codeword lengths; 0 past end-of-substream).
+    nk: (NT, N_SUB) i32 valid bytes per substream.
+    Returns (pos, bases, cnts): pos (NT, ROUNDS, N_SUB) i32 plane position
+    of each pull (-1 = no pull); bases/cnts (NT, ROUNDS) i32.
+    """
+    def step(carry, lens_j):
+        avail, base, j = carry
+        rem = nk - SPR * j
+        pull = (avail < THRESH) & (avail < mcl * rem) & (rem > 0)
+        ip = jnp.cumsum(pull.astype(jnp.int32), axis=1)
+        rank = ip - pull
+        cnt = ip[:, -1]
+        pos = jnp.where(pull, base[:, None] + rank, -1)
+        avail = avail + jnp.where(pull, 64, 0) - lens_j
+        return (avail, base + cnt, j + 1), (pos, base, cnt)
+
+    nt = l2.shape[0]
+    init = (jnp.zeros((nt, N_SUB), jnp.int32), jnp.zeros(nt, jnp.int32),
+            jnp.int32(0))
+    _, (pos, bases, cnts) = jax.lax.scan(
+        init=init, xs=l2.transpose(1, 0, 2), f=step)
+    return (pos.transpose(1, 0, 2), bases.transpose(1, 0),
+            cnts.transpose(1, 0))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _encode_device(blocks, codes, lengths, valid, interpret=False):
-    """blocks (NB,1024) u8 -> payload tiles + per-tile counts (device)."""
+def _encode_device(blocks, codes, lengths, valid, mcl,
+                   interpret: bool = False):
+    """blocks (NB,1024) u8 -> (P0, P1, bases, cnts) device arrays.
+
+    P0/P1: (NT*PLANE_ROWS, 128) u32 plane rows (live words per tile =
+    bases[t,-1] + cnts[t,-1]); bases/cnts (NT, ROUNDS) i32.
+    """
     from .ops.pallas.encode import (BLOCK_BYTES, encode_tree_chunks,
                                     pack_table)
     from .ops.pallas import wide as wk
-    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     nb = blocks.shape[0]
     nt = nb * 1024 // TILE_BYTES
 
-    # substream encode: merge tree stopped at level 8 (4 x 256B per row)
     t = 32
     grid = nb // t
     table = pack_table(codes, lengths)
     valid_col = jnp.broadcast_to(valid.astype(jnp.int32)[:, None],
                                  (nb, 128))
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    def _kern(table_ref, valid_ref, sym_ref, out_ref, lens_ref):
+    def _kern(table_ref, valid_ref, sym_ref, out_ref, l2_ref):
         sym_chunks = [sym_ref[:, c * 128:(c + 1) * 128].astype(jnp.int32)
                       for c in range(8)]
-        vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
-                                        valid_ref[:, 0:1], stop_level=8)
+        vals, _lens, l2 = encode_tree_chunks(
+            sym_chunks, table_ref[:], valid_ref[:, 0:1], stop_level=8,
+            capture_l2=True)
         out_ref[:] = jnp.concatenate(vals, axis=1)
-        lens_ref[:] = jnp.concatenate(
-            [lens[c][:, 0:1] for c in range(4)]
-            + [jnp.zeros((t, 124), jnp.int32)], axis=1)
+        l2_ref[:] = jnp.concatenate(l2, axis=1)
 
-    streams, slens = pl.pallas_call(
+    streams, l2 = pl.pallas_call(
         _kern,
         grid=(grid,),
         in_specs=[
@@ -107,44 +157,33 @@ def _encode_device(blocks, codes, lengths, valid, interpret=False):
         out_specs=(
             pl.BlockSpec((t, 512), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 128), lambda i: (i, 0),
+            pl.BlockSpec((t, 256), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 512), jnp.uint32),
-            jax.ShapeDtypeStruct((nb, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 256), jnp.int32),
         ),
         interpret=interpret,
     )(table, valid_col, blocks)
 
-    # relayouts: substream streams word-major per tile
-    subs = streams.reshape(nt, N_SUB, 128)
-    streams_wm = subs.reshape(nt, 8, 128, 128).transpose(0, 1, 3, 2) \
+    # substream streams word-major per tile: word w of tile substream
+    # k = 128s + l at [8t + s, 128w + l]
+    streams_wm = streams.reshape(nt, N_SUB, 128) \
+        .reshape(nt, 8, 128, 128).transpose(0, 1, 3, 2) \
         .reshape(nt * 8, 128 * 128)
-    # tile bytes packed 4-per-word big-endian, word-major
-    by = blocks.reshape(nt, N_SUB, SUB_BYTES // 4, 4).astype(jnp.uint32)
-    words = ((by[..., 0] << 24) | (by[..., 1] << 16)
-             | (by[..., 2] << 8) | by[..., 3])
-    byte_words = words.reshape(nt, 8, 128, SUB_BYTES // 4) \
-        .transpose(0, 1, 3, 2).reshape(nt * 8, 128 * SUB_BYTES // 4)
-    lens_table = jnp.concatenate(
-        [lengths.astype(jnp.int32).reshape(2, 128),
-         jnp.zeros((6, 128), jnp.int32)], axis=0)
-    payload, counts = wk.schedule_pallas(
-        byte_words, streams_wm, lens_table,
-        _nk_device(valid, nt), interpret=interpret)
-    return payload, counts
 
+    # l2 item i of block covers bytes [4i, 4i+4): substream i>>6 of the
+    # block, round i&63 -> (NT, ROUNDS, N_SUB) with substream = 4b + s
+    l2t = l2.reshape(nt, TILE_BYTES // 1024, 4, ROUNDS) \
+        .transpose(0, 3, 1, 2).reshape(nt, ROUNDS, N_SUB)
+    nk = _nk_device(valid, nt).reshape(nt, N_SUB)
 
-def _nk_device(valid_blocks, nt):
-    """(NB,) block valid bytes -> (NT*8, 128) substream valid counts.
-
-    Substream i of a block owns its bytes [256i, 256(i+1)).
-    """
-    v = valid_blocks.astype(jnp.int32).reshape(-1, 1)
-    sub_off = jnp.arange(4, dtype=jnp.int32)[None, :] * SUB_BYTES
-    nk = jnp.clip(v - sub_off, 0, SUB_BYTES)
-    return nk.reshape(nt * 8, 128)
+    pos, bases, cnts = _schedule(l2t, nk, mcl)
+    p0, p1 = wk.emit_planes_pallas(
+        streams_wm, pos.reshape(nt * ROUNDS * 8, 128),
+        bases.reshape(-1), cnts.reshape(-1), interpret=interpret)
+    return p0, p1, bases, cnts
 
 
 def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
@@ -152,6 +191,7 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
                 interpret: bool = False) -> WideEncoded:
     """Encode into the wide format on the device."""
     from . import api
+    from .ops.pallas.wide import PLANE_ROWS
     arr = (np.frombuffer(data, dtype=np.uint8)
            if isinstance(data, (bytes, bytearray))
            else np.ascontiguousarray(data, dtype=np.uint8).reshape(-1))
@@ -160,6 +200,8 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
         raise ValueError("wide format requires max_code_len <= 12")
     _require_tpu(interpret, "encode")
     cb = codebook or Codebook.from_data(arr, cfg.max_code_len)
+    mcl = int(cb.lengths.max(initial=1)) or 1
+    # bucket the tile count so any stream size hits a cached executable
     nt = max(1, cdiv(n, TILE_BYTES))
     nbb = 1
     while nbb < nt:
@@ -169,51 +211,80 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
     padded[:n] = arr
     blocks = jnp.asarray(padded.reshape(-1, 1024))
     valid = jnp.asarray(api.valid_per_block(n, blocks.shape[0], 1024))
-    payload, counts = _encode_device(
+    p0, p1, bases, cnts = _encode_device(
         blocks, jnp.asarray(cb.codes), jnp.asarray(cb.lengths), valid,
-        interpret=interpret)
-    counts = np.asarray(counts)
-    from .ops.pallas.wide import PAYLOAD_ROWS
-    pr = np.asarray(payload).reshape(nt, PAYLOAD_ROWS * 128)
-    pieces = [pr[i, : counts[i]] for i in range(nt)]
-    return WideEncoded(np.concatenate(pieces) if pieces else
-                       np.zeros(0, np.uint32),
-                       counts.astype(np.int32), cb, n, cfg)
+        jnp.int32(mcl), interpret=interpret)
+    bases = np.asarray(bases)
+    tile_words = (bases[:, -1] + np.asarray(cnts)[:, -1]).astype(np.int32)
+    p0 = np.asarray(p0).reshape(nt, PLANE_ROWS * 128)
+    p1 = np.asarray(p1).reshape(nt, PLANE_ROWS * 128)
+    pieces = []
+    for i in range(nt):
+        w = int(tile_words[i])
+        pieces.append(p0[i, :w])
+        pieces.append(p1[i, :w])
+    return WideEncoded(
+        np.concatenate(pieces) if pieces else np.zeros(0, np.uint32),
+        tile_words, bases.astype(np.int32), cb, n, cfg)
+
+
+def _decode_plan(enc: WideEncoded):
+    """Container -> device-ready decode operands (all NumPy)."""
+    from .ops.pallas.wide import _PBUF_ROWS
+    nt = len(enc.tile_words)
+    tw = enc.tile_words.astype(np.int64)
+    tile_start = np.concatenate([[0], np.cumsum(2 * tw)[:-1]])
+    s0 = tile_start                       # P0 word start
+    s1 = tile_start + tw                  # P1 word start
+    roff0 = ((s0 >> 7) & ~np.int64(7)).astype(np.int32)
+    g0a = (s0 - (roff0.astype(np.int64) << 7)).astype(np.int32)
+    roff1 = ((s1 >> 7) & ~np.int64(7)).astype(np.int32)
+    g0b = (s1 - (roff1.astype(np.int64) << 7)).astype(np.int32)
+
+    total = int(2 * tw.sum())
+    rows_needed = (total + 127) // 128 + _PBUF_ROWS
+    rows = 1 << 9
+    while rows < rows_needed:
+        rows *= 2
+    payload = np.zeros(rows * 128, np.uint32)
+    payload[: enc.payload_words.size] = enc.payload_words
+
+    nk = _sub_valid(enc.n_bytes)
+    if len(nk) < nt * N_SUB:
+        nk = np.pad(nk, (0, nt * N_SUB - len(nk)))
+    return (payload.reshape(rows, 128), roff0, g0a, roff1, g0b,
+            nk[: nt * N_SUB].reshape(nt * 8, 128))
 
 
 def decode_wide(enc: WideEncoded, interpret: bool = False) -> np.ndarray:
     """Decode a wide-format stream on the device."""
     from .ops.pallas.wide import decode_wide_pallas
     _require_tpu(interpret, "decode")
-    cfg = enc.config
-    nt = len(enc.tile_words)
-    offs = np.concatenate([[0], np.cumsum(enc.tile_words)[:-1]]) \
-        .astype(np.int32)
-    nk = _sub_valid(enc.n_bytes)
-    if len(nk) < nt * N_SUB:
-        nk = np.pad(nk, (0, nt * N_SUB - len(nk)))
-    t7, t12, s0 = enc.codebook.two_level_tables(7, MAXLEN)
-    # bucket the payload length so any stream size hits a cached executable
-    nwb = 1 << 14
-    while nwb < enc.payload_words.size:
-        nwb *= 2
-    payload = np.zeros(nwb, np.uint32)
-    payload[: enc.payload_words.size] = enc.payload_words
+    payload, roff0, g0a, roff1, g0b, nk = _decode_plan(enc)
+    lim_b, off, perm, min_len = enc.codebook.canonical_decode_arrays()
+    mcl = int(enc.codebook.lengths.max(initial=1)) or 1
+    tri = np.triu(np.ones((128, 128), np.float32))
     out = decode_wide_pallas(
-        jnp.asarray(payload), jnp.asarray(offs),
-        jnp.asarray(nk.reshape(nt * 8, 128)), jnp.asarray(t7),
-        jnp.asarray(t12), jnp.asarray(np.int32(s0)), int(t12.size),
-        interpret=interpret)
+        jnp.asarray(payload), jnp.asarray(roff0), jnp.asarray(g0a),
+        jnp.asarray(roff1), jnp.asarray(g0b),
+        jnp.asarray(enc.bases.reshape(-1)), jnp.asarray(lim_b),
+        jnp.asarray(off), jnp.asarray(np.int32(min_len)),
+        jnp.asarray(tri), jnp.asarray(perm), jnp.asarray(nk),
+        mcl=mcl, two_row_perm=perm.size > 128, interpret=interpret)
     out = _unpack_wide_output(out)       # device-side relayout
     return np.asarray(out)[: enc.n_bytes]
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _unpack_wide_output(out):
-    """(NT8, 8192) i32 word-major kernel output -> flat uint8 bytes."""
-    nt8 = out.shape[0]
-    words = out.reshape(nt8 // 8, 8, SUB_BYTES // 4, 128) \
-        .transpose(0, 1, 3, 2).reshape(-1, SUB_BYTES // 4)
+    """(NT*ROUNDS*8, 128) i32 kernel output -> flat uint8 bytes.
+
+    Word j of tile t's substream k = 128s + l sits at
+    [(t*ROUNDS + j)*8 + s, l] holding its 4 bytes big-endian.
+    """
+    nt = out.shape[0] // (ROUNDS * 8)
+    words = out.reshape(nt, ROUNDS, 8, 128).transpose(0, 2, 3, 1) \
+        .reshape(-1, ROUNDS)
     w = words.astype(jnp.uint32)
     by = jnp.stack([(w >> 24) & 255, (w >> 16) & 255, (w >> 8) & 255,
                     w & 255], axis=-1).astype(jnp.uint8)

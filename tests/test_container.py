@@ -154,32 +154,3 @@ class TestPrinters:
         cb = Codebook.from_data(b"aabbbc")
         s = printers.format_codebook(cb)
         assert "'a'" in s and "'b'" in s and "'c'" in s
-
-
-def test_wide_container_roundtrip():
-    import numpy as np
-    from huffman_tpu import container, wide
-    from huffman_tpu.codebook import Codebook
-    from huffman_tpu.config import CodecConfig
-    from huffman_tpu.golden import wide_codec as W
-
-    rng = np.random.default_rng(11)
-    data = rng.integers(0, 16, size=40000).astype(np.uint8)
-    cfg = CodecConfig()
-    cb = Codebook.from_data(data, cfg.max_code_len)
-    payloads, n = W.encode(data, cb.codes, cb.lengths)
-    enc = wide.WideEncoded(
-        np.concatenate(payloads), np.asarray([len(p) for p in payloads],
-                                             np.int32), cb, n, cfg)
-    blob = container.dumps_wide(enc)
-    assert container.container_version(blob) == 2
-    back = container.loads_wide(blob)
-    assert back.n_bytes == n
-    assert np.array_equal(back.payload_words, enc.payload_words)
-    assert np.array_equal(back.tile_words, enc.tile_words)
-    syms, lens = back.codebook.decode_table(cfg.decode_table_bits)
-    dec = W.decode([back.payload_words[
-        int(np.sum(back.tile_words[:i])):
-        int(np.sum(back.tile_words[:i + 1]))] for i in
-        range(len(back.tile_words))], n, syms, lens, cfg.decode_table_bits)
-    assert np.array_equal(dec, data)
