@@ -20,7 +20,11 @@ through remote-device tunnels).
 
 Env knobs: HUFF_BENCH_MB (input MiB, default 64 on TPU / 8 elsewhere),
 HUFF_BENCH_REPS (slope reps, default 4), HUFF_BENCH_SKIP (comma list of
-extra stages to skip: decode,wide,hist,e2e).
+extra stages to skip: decode,wide,hist,e2e), HUFF_BENCH_BUDGET_S (wall
+budget in seconds, default 900: extra stages not yet started when the
+budget is exhausted are skipped — cold Mosaic compiles take minutes per
+shape; a warm persistent cache loads them in <1 s — so the headline JSON
+always prints).
 """
 
 from __future__ import annotations
@@ -49,6 +53,16 @@ def main() -> None:
     from huffman_tpu.codebook import Codebook
     from huffman_tpu.config import CodecConfig
     from huffman_tpu.utils.stats import StatsLogger
+
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("HUFF_BENCH_BUDGET_S", 900))
+    extra = {}
+
+    def over_budget(stage: str) -> bool:
+        if time.perf_counter() - t_start <= budget_s:
+            return False
+        extra.setdefault("skipped_budget", []).append(stage)
+        return True
 
     platform = jax.devices()[0].platform
     default_mb = 64 if platform == "tpu" else 8
@@ -80,8 +94,6 @@ def main() -> None:
         t1 = min(run(f1) for _ in range(2))
         t2 = min(run(f2) for _ in range(2))
         return max((t2 - t1) / reps, 1e-9)
-
-    extra = {}
 
     # ---------------- dense encode (headline) -------------------------
     if use_pallas:
@@ -125,7 +137,7 @@ def main() -> None:
         extra["encode_kernel_gbps"] = round(n / t_enc / 1e9, 2)
         extra["pack_kernel_gbps"] = round(n / t_pack / 1e9, 2)
 
-        if "mcl8" not in skip and kmcl > 8:
+        if "mcl8" not in skip and kmcl > 8 and not over_budget("mcl8"):
             # the speed/ratio knob: an 8-bit length cap runs the narrow
             # compact tree (see ops/pallas/encode.py); report its kernel
             # rate + ratio cost next to the default-config headline
@@ -178,13 +190,13 @@ def main() -> None:
              and bytes(enc.stream_bytes) == bytes(gold_bytes))
 
     # ---------------- extras: e2e, decode, wide, histogram ------------
-    if "e2e" not in skip:
+    if "e2e" not in skip and not over_budget("e2e"):
         t0 = time.perf_counter()
         api.encode(data, cfg, codebook=cb)
         extra["encode_e2e_gbps"] = round(n / (time.perf_counter() - t0) / 1e9,
                                          3)
 
-    if "hist" not in skip:
+    if "hist" not in skip and not over_budget("hist"):
         from huffman_tpu.ops import histogram as hist_ops
 
         def mk_hist(k):
@@ -203,7 +215,8 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             extra["hist_error"] = str(e)[:80]
 
-    if "decode" not in skip and use_pallas:
+    if ("decode" not in skip and use_pallas
+            and not over_budget("wide")):
         # Wide kernels are timed DEVICE-RESIDENT (slope method): e2e walls
         # through a remote-device tunnel measure the tunnel, not the codec.
         try:
