@@ -279,6 +279,43 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             extra["dense_decode_error"] = str(e)[:120]
 
+    if ("sharded" not in skip and use_pallas
+            and not over_budget("sharded")):
+        # Sharded phase 1 on a 1-device mesh: the Mosaic encode kernel
+        # running INSIDE shard_map (psum histogram + all_gather scan base
+        # included) should be within ~10% of the bare encode kernel —
+        # evidence that the scale-out layer keeps the fast path.  Slope-
+        # timed device-resident like every other kernel stage.
+        try:
+            from huffman_tpu.parallel.mesh import make_mesh
+            from huffman_tpu.parallel.pipeline import (ShardedCodec,
+                                                       encode_phase1)
+            mesh = make_mesh(1)
+            codec = ShardedCodec(mesh, cfg)
+            blocks_h, valid_h, _n1 = codec.prepare(data)
+            d_b, d_v = codec.shard_inputs(blocks_h, valid_h)
+            p1 = encode_phase1(mesh, cfg.capacity_words, True, kmcl)
+            _s1, bits1, _w1, _sh1, _h1 = jax.block_until_ready(
+                p1(d_b, d_v, dc, dl))
+            extra["sharded_total_bits_ok"] = bool(
+                int(np.asarray(bits1).astype(np.int64).sum())
+                == int(bits_host.astype(np.int64).sum()))
+
+            def mk_p1(k):
+                @jax.jit
+                def fn():
+                    def body(carry, _):
+                        bb = d_b.at[0, 0].set(carry)
+                        s, b, _w2, _sh2, _h2 = p1(bb, d_v, dc, dl)
+                        return s[0, 0].astype(jnp.uint8), b[0]
+                    c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
+                    return c
+                return fn
+            t_sh = slope_time(mk_p1)
+            extra["sharded_encode_kernel_gbps"] = round(n / t_sh / 1e9, 2)
+        except Exception as e:  # pragma: no cover
+            extra["sharded_error"] = str(e)[:120]
+
     record = {
         "metric": "encode_throughput",
         "value": round(gbps, 3),

@@ -378,7 +378,7 @@ def pack_table(codes, lengths) -> "jax.Array":
                                     "interpret", "max_code_len"))
 def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          lengths: jax.Array, valid_bytes: jax.Array,
-                         capacity_words: int, block_tile: int = 64,
+                         capacity_words: int, block_tile: int = 128,
                          interpret: bool = False, max_code_len: int = 16):
     """Drop-in twin of ops.encode.encode_blocks on the Pallas path.
 

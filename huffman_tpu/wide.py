@@ -128,7 +128,7 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
     nb = blocks.shape[0]
     nt = nb * 1024 // TILE_BYTES
 
-    t = 32
+    t = 128 if nb % 128 == 0 else 32
     grid = nb // t
     table = pack_table(codes, lengths)
     valid_col = jnp.broadcast_to(valid.astype(jnp.int32)[:, None],
