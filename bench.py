@@ -73,7 +73,10 @@ def main() -> None:
 
     data = make_data(n)
     cfg = CodecConfig()
-    cb = Codebook.from_data(data, cfg.max_code_len)
+    # the product path's codebook build, including the narrow_tol
+    # speed/size policy (cap-8 tree when it costs <1% size)
+    cb = Codebook.from_frequencies_auto(
+        np.bincount(data, minlength=256), cfg.max_code_len, cfg.narrow_tol)
     blocks, n_real = api._as_blocks(data, cfg)
     valid = api.valid_per_block(n_real, blocks.shape[0], cfg.block_bytes)
     db = jax.device_put(jnp.asarray(blocks))

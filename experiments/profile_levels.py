@@ -87,26 +87,24 @@ def main():
     def slope(stop_level, reps=3):
         run = make_stopped(stop_level)
 
+        # ONE compile per level: chain length is a traced fori_loop bound,
+        # so k=1 and k=1+reps reuse the same executable.
+        @jax.jit
         def chained(k):
-            @jax.jit
-            def fn():
-                def body(carry, _):
-                    s = db.at[0, 0].set(carry)
-                    o = run(valid_col, s)
-                    return o[0, 0].astype(jnp.uint8), o[0, 1]
-                c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
-                return c
-            return fn
+            def body(_, carry):
+                s = db.at[0, 0].set(carry)
+                o = run(valid_col, s)
+                return o[0, 0].astype(jnp.uint8)
+            return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
 
-        def r(f):
+        def r(k):
             t0 = time.perf_counter()
-            out = f()
+            out = chained(k)
             _ = int(np.asarray(out))
             return time.perf_counter() - t0
-        f1, f2 = chained(1), chained(1 + reps)
-        r(f1); r(f2)
-        t1 = min(r(f1) for _ in range(2))
-        t2 = min(r(f2) for _ in range(2))
+        r(1); r(1 + reps)
+        t1 = min(r(1) for _ in range(2))
+        t2 = min(r(1 + reps) for _ in range(2))
         return max((t2 - t1) / reps, 1e-9)
 
     prev = None

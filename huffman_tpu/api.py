@@ -216,14 +216,20 @@ def encode_pipeline_pallas(byte_blocks, codes, lengths, valid_bytes,
 
 def build_codebook(data, cfg: CodecConfig = DEFAULT_CONFIG,
                    use_device: bool = True) -> Codebook:
-    """Histogram (on device by default) + host-side canonical codebook."""
+    """Histogram (on device by default) + host-side canonical codebook.
+
+    Applies the cfg.narrow_tol speed/size policy: a cap-8/cap-4 codebook
+    is preferred when its expected size cost is within tolerance, because
+    the Mosaic encode tree is ~2x faster under the narrower static bound.
+    """
     if use_device:
         blocks, n = _as_blocks(data, cfg)
         freqs = np.asarray(hist_ops.histogram(jnp.asarray(blocks), n))
     else:
         from .codebook import byte_histogram_host
         freqs = byte_histogram_host(data)
-    return Codebook.from_frequencies(freqs, cfg.max_code_len)
+    return Codebook.from_frequencies_auto(freqs, cfg.max_code_len,
+                                          cfg.narrow_tol)
 
 
 def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,

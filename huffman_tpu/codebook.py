@@ -169,6 +169,33 @@ class Codebook:
         return Codebook(codes=codes, lengths=lengths, max_len=int(lengths.max(initial=0)))
 
     @staticmethod
+    def from_frequencies_auto(freqs: np.ndarray, max_code_len: int = 16,
+                              narrow_tol: float = 0.01) -> "Codebook":
+        """Codebook with an automatic speed/size cap choice.
+
+        The Mosaic encode tree is specialized on a static code-length
+        bound, and a bound of <= 8 (or <= 4) runs a 2x (4x) narrower —
+        and correspondingly faster — merge tree (ops/pallas/encode.py
+        encode_tree_chunks).  When a cap-8 (or cap-4) package-merge
+        codebook costs at most `narrow_tol` relative expected size over
+        the max_code_len one, prefer it: on skewed streams like the
+        reference's 32-symbol fixture (data/test1024_H2.2...in) the cost
+        is ~0.1% for ~2x encode throughput.  narrow_tol <= 0 disables.
+        """
+        full = Codebook.from_frequencies(freqs, max_code_len)
+        if narrow_tol <= 0:
+            return full
+        base = full.expected_bits_per_byte(freqs)
+        n_live = int(np.count_nonzero(freqs))
+        for cap in (4, 8):
+            if cap >= full.max_len or n_live > (1 << cap):
+                continue
+            narrow = Codebook.from_frequencies(freqs, cap)
+            if narrow.expected_bits_per_byte(freqs) <= base * (1 + narrow_tol):
+                return narrow
+        return full
+
+    @staticmethod
     def from_lengths(lengths: np.ndarray) -> "Codebook":
         """Rebuild from serialized lengths (container deserialization)."""
         lengths = np.asarray(lengths, dtype=np.int32)

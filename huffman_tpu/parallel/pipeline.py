@@ -288,7 +288,8 @@ class ShardedCodec:
         d_blocks, d_valid = self.shard_inputs(blocks, valid)
         if codebook is None:
             hist = np.asarray(histogram_sharded(self.mesh)(d_blocks, d_valid))
-            codebook = Codebook.from_frequencies(hist, cfg.max_code_len)
+            codebook = Codebook.from_frequencies_auto(hist, cfg.max_code_len,
+                                                      cfg.narrow_tol)
         p1 = encode_phase1(self.mesh, cfg.capacity_words, use_pallas,
                            cfg.max_code_len)
         streams, bits_dev, shard_word, shard_shift, _hist = p1(

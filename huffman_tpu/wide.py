@@ -199,7 +199,11 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
     if cfg.max_code_len > MAXLEN:
         raise ValueError("wide format requires max_code_len <= 12")
     _require_tpu(interpret, "encode")
-    cb = codebook or Codebook.from_data(arr, cfg.max_code_len)
+    if codebook is None:
+        from .codebook import byte_histogram_host
+        codebook = Codebook.from_frequencies_auto(
+            byte_histogram_host(arr), cfg.max_code_len, cfg.narrow_tol)
+    cb = codebook
     mcl = int(cb.lengths.max(initial=1)) or 1
     # bucket the tile count so any stream size hits a cached executable
     nt = max(1, cdiv(n, TILE_BYTES))
