@@ -170,7 +170,7 @@ def _shl_u(x, n):
 
 
 def merge_level_v2(vals, alenc, n_items: int, S: int, it, max_code_len: int,
-                   item_bytes: int = 0):
+                   item_bytes: int = 0, out_chunks: int = 0):
     """One doubling merge with compact per-item bit lengths.
 
     vals: chunk list of (T, 128) u32 — item streams, left-aligned, item i
@@ -203,10 +203,12 @@ def merge_level_v2(vals, alenc, n_items: int, S: int, it, max_code_len: int,
     if not item_bytes:
         item_bytes = 2 * S
     wmax = min(S, (item_bytes * max_code_len) // 32)
+    if not out_chunks:
+        out_chunks = n
 
     new_vals = []
     carry = jnp.zeros((vals[0].shape[0], 1), _U32)
-    for d in range(n):
+    for d in range(out_chunks):
         lane0 = 128 * d
         lane_g = it + lane0                       # static
         j = lane_g & (M2 - 1)                     # static
@@ -219,11 +221,24 @@ def merge_level_v2(vals, alenc, n_items: int, S: int, it, max_code_len: int,
         srcc = src >> 7
         c_lo = max(0, (lane0 + S - wmax) >> 7)
         c_hi = min(n - 1, (lane0 + 127 + S) >> 7)
-        braw = jnp.zeros_like(vals[0])
-        for c2 in range(c_lo, c_hi + 1):
-            g = jnp.take_along_axis(vals[c2],
-                                    jnp.clip(src - 128 * c2, 0, 127), axis=1)
-            braw = jnp.where(srcc == c2, g, braw)
+        if wmax == 0:
+            # left item always < 32 bits (w == 0): src = lane + S is a
+            # compile-time index — the gather, the chunk select, and the
+            # in_b mask are all static, no dynamic-index premium
+            # (measured ~2x cheaper on v5e)
+            w = jnp.zeros_like(a_len)
+            srcc = (lane_g + S) >> 7              # static
+            braw = jnp.zeros_like(vals[0])
+            s_idx = (it + (S & 127)) & 127        # static
+            for c2 in range(c_lo, c_hi + 1):
+                g = jnp.take_along_axis(vals[c2], s_idx, axis=1)
+                braw = jnp.where(srcc == c2, g, braw)
+        else:
+            braw = jnp.zeros_like(vals[0])
+            for c2 in range(c_lo, c_hi + 1):
+                g = jnp.take_along_axis(
+                    vals[c2], jnp.clip(src - 128 * c2, 0, 127), axis=1)
+                braw = jnp.where(srcc == c2, g, braw)
         in_b = (j >= w) & ((j - S) < w)           # src inside the right item
         brm = jnp.where(in_b, braw, _U32(0))
         # bprev: value at src-1 == brm one lane earlier (contiguous src
@@ -254,7 +269,7 @@ def _expand_lens(alenc, S: int, it, n_chunks: int):
 
 def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
                        stop_level: int = 10, max_code_len: int = 16,
-                       capture_l2: bool = False):
+                       capture_l2: bool = False, cap_chunks: int = 0):
     """Chunkwise encode of T blocks -> (4 chunks of (T,128) u32, lens).
 
     sym_chunks: 8 chunks of (T, 128) int32 byte symbols (1024 bytes/block,
@@ -274,6 +289,10 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     capture_l2: also return the compact per-4-byte-item bit lengths (a
     free mid-tree byproduct; the wide format's schedule scan consumes
     it) — return value becomes (vals, lens, l2).
+    cap_chunks: if nonzero, the FINAL merge level only materializes this
+    many output chunks — callers that slice the stream to capacity_words
+    anyway (the dense encoder) skip the dead top-lane work; bit counts
+    (lens) are unaffected, so overflow detection still sees the truth.
     """
     t = sym_chunks[0].shape[0]
     it = _iota128(t)
@@ -323,8 +342,11 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
             l2 = list(alenc)
     # standard doubling merges
     while n_items > n_stop:
+        oc = (min(cap_chunks, len(vals))
+              if cap_chunks and n_items == 2 * n_stop else 0)
         vals, alenc = merge_level_v2(vals, alenc, n_items, S, it,
-                                     max_code_len, item_bytes)
+                                     max_code_len, item_bytes,
+                                     out_chunks=oc)
         n_items //= 2
         item_bytes *= 2
         S *= 2
@@ -353,7 +375,8 @@ def _encode_kernel(table_ref, valid_ref, sym_ref, out_ref, bits_ref,
                   for c in range(8)]
     vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
                                     valid_ref[:, 0:1],
-                                    max_code_len=max_code_len)
+                                    max_code_len=max_code_len,
+                                    cap_chunks=-(-cap_words // 128))
     stream = jnp.concatenate(vals, axis=1)
     if stream.shape[1] < cap_words:       # compact tree narrower than cap
         stream = jnp.pad(stream,

@@ -36,63 +36,81 @@ TILE_WORDS = 1024          # output tile: 8 rows of 128 words
 TILE_ROWS = 8
 
 
-def _seg_rows(cap_words: int, k_max: int) -> int:
-    """Stream-window rows: k_max blocks, each padded to 8 physical rows.
+def _stage_geometry(cap_words: int) -> tuple[int, int, int]:
+    """(stride_rows, align_b, k_mult) for block-stream staging.
 
-    Blocks are staged at a fixed 8-row (1024-word) stride regardless of
-    cap_words so every window start f*8 is 8-row aligned — TPU DMA row
-    slices must be provably 8-row granular (Mosaic rejects unproven
-    dynamic starts).
+    Blocks are staged at stride_rows 128-word rows each.  TPU DMA row
+    slices must be provably 8-row granular, so the window's first block
+    index is rounded down to a multiple of align_b and k_max to a
+    multiple of k_mult — then every window start (f * stride_rows) and
+    window height (k_max * stride_rows) is a multiple of 8.  For
+    power-of-two cap_rows <= 8 the stride is exactly cap_rows (4x less
+    window DMA than the old fixed 8-row stride at the default cap=256);
+    other capacities fall back to the 8-row stride.
     """
-    return TILE_ROWS * k_max
+    cap_rows = cap_words // 128
+    if cap_rows in (1, 2, 4, 8):
+        stride = cap_rows
+    else:
+        stride = TILE_ROWS
+    align_b = max(1, TILE_ROWS // stride)
+    k_mult = max(4, align_b)
+    return stride, align_b, k_mult
 
 
-_MW = 2048        # meta SMEM window: 1024-aligned, covers f..f+K
+_MW = 2048        # meta SMEM window: 1024-aligned (1-D SMEM DMA tiling
+                  # granularity), covers (f - f%1024)..f+K
 
 
 def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
                  out_ref, win_ref, mw_ref, mx_ref, sems, *,
                  k_max: int, cap_words: int, n_tiles: int):
     g = pl.program_id(0)
-    wrows = _seg_rows(cap_words, k_max)
+    stride, _ab, _km = _stage_geometry(cap_words)
+    wrows = stride * k_max
 
-    # -- double-buffered DMAs: stream window (VMEM) + meta windows (SMEM).
-    # Meta values are read as SMEM scalars — a vector->scalar reduce per
-    # segment (the v1 approach) costs ~100x more.  Dynamic DMA starts
-    # carry explicit divisibility proofs (pl.multiple_of): 8 rows for the
-    # 2-D stream window, 1024 elements for the 1-D meta windows.
-    def copies(step, slot):
-        a0 = pl.multiple_of((f_ref[step] >> 10) << 10, 1024)
+    # -- stream window: double-buffered VMEM DMA per tile.  Meta windows:
+    # SMEM, single-buffered, refetched ONLY when the 1024-aligned window
+    # base advances (once per ~_MW/2 tiles) — meta values are read as
+    # SMEM scalars (a vector->scalar reduce per segment costs ~100x
+    # more), and 1-D SMEM DMA slices must be 1024-element granular.
+    # Dynamic DMA starts carry explicit divisibility proofs
+    # (pl.multiple_of): 8 rows for the 2-D stream window (f_tile is
+    # pre-aligned so f*stride is 8-row granular).
+    def win_copy(step, slot):
         r0 = pl.multiple_of(wrow_ref[step], TILE_ROWS)
-        return (
-            pltpu.make_async_copy(
-                streams_hbm.at[pl.ds(r0, wrows)],
-                win_ref.at[pl.ds(slot * wrows, wrows)], sems.at[slot, 0]),
-            pltpu.make_async_copy(
-                metaw_hbm.at[pl.ds(a0, _MW)],
-                mw_ref.at[pl.ds(slot * _MW, _MW)], sems.at[slot, 1]),
-            pltpu.make_async_copy(
-                metax_hbm.at[pl.ds(a0, _MW)],
-                mx_ref.at[pl.ds(slot * _MW, _MW)], sems.at[slot, 2]),
-        )
+        return pltpu.make_async_copy(
+            streams_hbm.at[pl.ds(r0, wrows)],
+            win_ref.at[pl.ds(slot * wrows, wrows)], sems.at[slot, 0])
+
+    f = f_ref[g]
+    a0 = pl.multiple_of((f >> 10) << 10, 1024)
+    prev_a0 = (f_ref[jnp.maximum(g - 1, 0)] >> 10) << 10
 
     @pl.when(g == 0)
     def _():
-        for c in copies(0, 0):
-            c.start()
+        win_copy(0, 0).start()
+
+    @pl.when((g == 0) | (a0 != prev_a0))
+    def _():
+        cw = pltpu.make_async_copy(
+            metaw_hbm.at[pl.ds(a0, _MW)], mw_ref, sems.at[0, 1])
+        cx = pltpu.make_async_copy(
+            metax_hbm.at[pl.ds(a0, _MW)], mx_ref, sems.at[0, 2])
+        cw.start()
+        cx.start()
+        cw.wait()
+        cx.wait()
 
     @pl.when(g + 1 < n_tiles)
     def _():
-        for c in copies(g + 1, (g + 1) % 2):
-            c.start()
+        win_copy(g + 1, (g + 1) % 2).start()
 
-    for c in copies(g, g % 2):
-        c.wait()
+    win_copy(g, g % 2).wait()
     slot = g % 2
     win = win_ref[pl.ds(pl.multiple_of(slot * wrows, TILE_ROWS), wrows)]
 
-    f = f_ref[g]
-    p0 = slot * _MW + (f - ((f >> 10) << 10))
+    p0 = f - a0
     row_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
     flat = row_i * 128 + lane
@@ -109,12 +127,16 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
         sh = ax & 31
         bits = ax >> 5
         nw = jnp.where(bits == 0, 0, (sh + bits + 31) >> 5)
-        dw = wb - tile_w0                              # in [-cap, 1024)
+        dw = wb - tile_w0           # in [-(cap + align_b*cap), 1024)
 
-        # the block's stream: 8 physical rows at window offset k*8
-        # (zero-padded past cap_words at staging time, so the flat
-        # rotation below is mod 1024 over real zeros)
-        pad = win[k * TILE_ROWS:(k + 1) * TILE_ROWS]
+        # the block's stream: stride rows at window offset k*stride,
+        # zero-extended in registers to the 8-row tile ring (the flat
+        # rotation below is mod 1024 over real zeros; the spill word at
+        # index cap lands in the zero extension)
+        pad = win[k * stride:(k + 1) * stride]
+        if stride < TILE_ROWS:
+            pad = jnp.concatenate(
+                [pad, jnp.zeros((TILE_ROWS - stride, 128), _U32)], axis=0)
 
         # bit-shift right by sh (MSB-first stream): word j gets
         # (s[j] >> sh) | (s[j-1] << (32-sh)); the double-shift
@@ -131,7 +153,7 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
         # by dw mod 1024 over the (8,128) row-major layout (lane gather +
         # one row gather that folds in the lane-borrow), then mask the
         # live range [dw, dw+nw) with a single unsigned compare.
-        rot = (dw + 2048) & (TILE_WORDS - 1)
+        rot = (dw + 8192) & (TILE_WORDS - 1)
         rl = rot & 127
         rr = rot >> 7
         a = jnp.take_along_axis(xs, (lane - rl) & 127, axis=1)
@@ -157,7 +179,10 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
       ops.scan.exclusive_bit_offsets).
     aux: (NB,) i32 packed block_bits<<5 | bit_shift.
     f_tile: (n_tiles,) i32 first covering block per tile (host/XLA
-      searchsorted, may be one early — masked segments cost nothing).
+      searchsorted, may be early — masked segments cost nothing).  The
+      _stage_geometry alignment (f rounded down to a multiple of
+      align_b) is applied here, so callers pass the raw searchsorted f
+      and a k_max that covers the rounding (plan_pack does both).
     Returns (n_tiles*8, 128) u32 dense rows.
     """
     nb, cap = block_streams.shape
@@ -166,14 +191,16 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
     cap_rows = cap // 128
     if cap_rows > TILE_ROWS:
         raise ValueError("cap_words must be <= 1024 (8 rows)")
-    wrows = _seg_rows(cap, k_max)
-    # stage at a fixed 8-row stride per block (8-row-aligned DMA starts),
-    # plus a window of trailing zero rows so the last tile's DMA stays in
-    # range
+    stride, align_b, _km = _stage_geometry(cap)
+    f_tile = f_tile.astype(jnp.int32)
+    f_tile = f_tile - (f_tile % align_b)
+    wrows = stride * k_max
+    # stage at stride rows per block, plus a window of trailing zero rows
+    # so the last tile's DMA stays in range
     rows3 = block_streams.reshape(nb, cap_rows, 128)
-    if cap_rows < TILE_ROWS:
-        rows3 = jnp.pad(rows3, ((0, 0), (0, TILE_ROWS - cap_rows), (0, 0)))
-    rows = rows3.reshape(nb * TILE_ROWS, 128)
+    if cap_rows < stride:
+        rows3 = jnp.pad(rows3, ((0, 0), (0, stride - cap_rows), (0, 0)))
+    rows = rows3.reshape(nb * stride, 128)
     rows = jnp.concatenate(
         [rows, jnp.zeros((wrows, 128), _U32)], axis=0)
 
@@ -185,7 +212,7 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
     metax = jnp.concatenate(
         [aux.astype(jnp.int32), jnp.zeros(mpad, jnp.int32)])
 
-    wrow0 = (f_tile * TILE_ROWS).astype(jnp.int32)
+    wrow0 = (f_tile * stride).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -199,8 +226,8 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2 * wrows, 128), _U32),
-            pltpu.SMEM((2 * _MW,), jnp.int32),
-            pltpu.SMEM((2 * _MW,), jnp.int32),
+            pltpu.SMEM((_MW,), jnp.int32),
+            pltpu.SMEM((_MW,), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
@@ -255,28 +282,30 @@ def _pack_prepared(block_streams, block_bits, n_tiles, k_max, cap_words,
     return out
 
 
-def plan_pack(block_bits_host) -> tuple[int, int]:
+def plan_pack(block_bits_host, cap_words: int = 256) -> tuple[int, int]:
     """(n_tiles, k_max) for a pack call, from host per-block bit counts.
 
     n_tiles is quarter-pow2 bucketed; K — the max blocks covering one
     tile, the kernel's per-segment cost driver — is computed EXACTLY from
-    the host offsets and bucketed to a multiple of 4 so kernel shapes hit
-    the compile cache.
+    the host offsets (including the compact-staging f alignment of
+    _stage_geometry) and bucketed so kernel shapes hit the compile cache.
     """
     import numpy as np
+    _stride, align_b, k_mult = _stage_geometry(cap_words)
     bits = np.asarray(block_bits_host, dtype=np.int64)
     total_words = int((bits.sum() + 31) // 32)
     n_tiles = _bucket_quarter(max(total_words, 1) // TILE_WORDS + 1, 8)
     word_base = np.concatenate([[0], np.cumsum(bits)[:-1] >> 5])
     tile_starts = np.arange(n_tiles, dtype=np.int64) * TILE_WORDS
     first = np.maximum(np.searchsorted(word_base, tile_starts, "left") - 1, 0)
+    first -= first % align_b
     last = np.maximum(
         np.searchsorted(word_base, tile_starts + TILE_WORDS, "left") - 1, 0)
     k_need = int((last - first).max()) + 1
-    if k_need > 48:        # full 1 KiB blocks emit >= 1024 bits, so a
-        raise ValueError(  # 1024-word tile is covered by <= 34 blocks
+    if k_need > 48 + align_b:  # full 1 KiB blocks emit >= 1024 bits, so a
+        raise ValueError(      # 1024-word tile is covered by <= 34 blocks
             f"pack tile covered by {k_need} blocks — corrupt block_bits?")
-    return n_tiles, max(-(-k_need // 4) * 4, 4)
+    return n_tiles, max(-(-k_need // k_mult) * k_mult, k_mult)
 
 
 def pack_dense_parallel(block_streams: jax.Array, block_bits_host,
@@ -291,7 +320,7 @@ def pack_dense_parallel(block_streams: jax.Array, block_bits_host,
     if cap > 896:
         raise ValueError("pack_dense_parallel requires cap_words <= 896 "
                          "(a shifted block must fit one 1024-word tile)")
-    n_tiles, k_max = plan_pack(block_bits_host)
+    n_tiles, k_max = plan_pack(block_bits_host, cap)
     bits = np.asarray(block_bits_host, dtype=np.int32)
     out = _pack_prepared(block_streams, jnp.asarray(bits),
                          n_tiles, k_max, cap, interpret=interpret)

@@ -314,7 +314,7 @@ class ShardedCodec:
             n_tiles, k_max = 1, 4
             for s in range(ndev):
                 nt_s, k_s = plan_pack(
-                    np.concatenate([[int(shift_h[s])], bits64[s]]))
+                    np.concatenate([[int(shift_h[s])], bits64[s]]), cap)
                 n_tiles, k_max = max(n_tiles, nt_s), max(k_max, k_s)
         else:
             n_tiles, k_max = 1, 1   # unused by the XLA body

@@ -22,6 +22,7 @@ from huffman_tpu.ops.pallas.pack2 import pack_dense_parallel
     (9 * 1024 + 999, 32, 8, 3),
     (3 * 1024, 256, 8, 5),
     (1024, 1, 8, 6),             # degenerate 1-bit/byte codebook
+    (6 * 1024 + 11, 4, 4, 7),    # cap 128: 1-row staging (align_b 8)
     pytest.param(2 * 1024 + 999, 256, 16, 4, marks=pytest.mark.slow),
 ])
 def test_pack_parallel_vs_golden(n, nsym, capb, seed):
