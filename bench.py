@@ -65,6 +65,10 @@ def main() -> None:
         extra.setdefault("skipped_budget", []).append(stage)
         return True
 
+    def progress(msg: str) -> None:
+        print(f"[bench +{time.perf_counter() - t_start:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     platform = jax.devices()[0].platform
     default_mb = 1024 if platform == "tpu" else 8
     mb = int(os.environ.get("HUFF_BENCH_MB", default_mb))
@@ -92,6 +96,7 @@ def main() -> None:
                           for i in range(-(-nb_total // gchunk))])[:nb_total]
     db = jax.block_until_ready(db)
     n_real = n
+    progress(f"data ready: {mb} MiB on {platform}")
 
     # the product path's codebook build (device histogram + narrow_tol
     # speed/size policy), from the full on-device stream
@@ -112,25 +117,37 @@ def main() -> None:
     ex_mb = min(mb, 64)
     data_ex = np.asarray(db[: ex_mb * 1024]).reshape(-1)
 
-    def slope_time(make_fn):
-        """make_fn(k) -> callable returning a scalar-able array; slope s."""
-        def run(f):
+    def slope_time(make_fn, label: str = "?"):
+        """make_fn(k) -> callable returning a scalar-able array; slope s.
+
+        k arrives as a TRACED value (jnp scalar): every stage compiles its
+        chain exactly once — at 1 GiB the Mosaic kernels embedded in each
+        chain take minutes to compile cold, so a second executable per
+        stage (k=1 vs k=1+reps as static scan lengths) doubles the cold
+        wall for nothing.
+        """
+        def run(k):
             t0 = time.perf_counter()
-            out = f()
+            out = f(jnp.int32(k))
             _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
             return time.perf_counter() - t0
-        f1, f2 = make_fn(1), make_fn(1 + reps)
-        run(f1); run(f2)
-        t1 = min(run(f1) for _ in range(2))
-        t2 = min(run(f2) for _ in range(2))
+        f = make_fn()
+        progress(f"compile+warm {label}")
+        run(1); run(1 + reps)
+        t1 = min(run(1) for _ in range(2))
+        t2 = min(run(1 + reps) for _ in range(2))
+        progress(f"done {label}: {(t2 - t1) / reps * 1e3:.3f} ms/iter")
         return max((t2 - t1) / reps, 1e-9)
 
     # ---------------- dense encode (headline) -------------------------
     if use_pallas:
         from huffman_tpu.ops.pallas.encode import encode_blocks_pallas
         from huffman_tpu.ops.pallas.pack2 import _pack_prepared, plan_pack
-        cap = ((cfg.capacity_words + 127) // 128) * 128
         kmcl = api._kernel_mcl(cb)
+        # the product path's capacity choice (speculative bucket first;
+        # api.encode retries at the safe bucket on real overflow)
+        cap = api._cap_schedule(cfg, kmcl, cb.est_bpb)[0]
+        extra["cap_words"] = cap
 
         # Slope chains thread the iteration-to-iteration dependence
         # through a SMALL operand (codes: 1 KiB) rather than the input
@@ -138,19 +155,19 @@ def main() -> None:
         # per iteration (2.5 ms/iter at 1 GiB), taxing every measurement.
         # Kernel results are unchanged: dead codebook entries carry the
         # dependence (symbol 255 is absent from make_data streams).
-        def mk_encode(k):
+        def mk_encode():
             @jax.jit
-            def fn():
-                def body(carry, _):
+            def fn(k):
+                def body(_, carry):
                     dcc = dc.at[255].set(carry)
                     out, bits = encode_blocks_pallas(
                         db, dcc, dl, dv, cap, max_code_len=kmcl)
-                    return out[0, 0], bits[0]
-                c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=k)
-                return c
+                    return out[0, 0] ^ bits[0].astype(jnp.uint32)
+                return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
             return fn
-        t_enc = slope_time(mk_encode)
+        t_enc = slope_time(mk_encode, "encode")
 
+        progress("one-shot encode for pack staging")
         streams, bits_dev = jax.block_until_ready(encode_blocks_pallas(
             db, dc, dl, dv, cap, max_code_len=kmcl))
         bits_host = np.asarray(bits_dev)
@@ -158,20 +175,19 @@ def main() -> None:
         d_bits = jax.device_put(jnp.asarray(bits_host.astype(np.int32)))
         d_streams = jax.device_put(streams)
 
-        def mk_pack(k):
+        def mk_pack():
             # chain through bits[0] (bounded to keep the plan's coverage):
             # a (NB,) copy per iteration instead of the (NB, cap) streams
             @jax.jit
-            def fn():
-                def body(carry, _):
+            def fn(k):
+                def body(_, carry):
                     b = d_bits.at[0].set(carry)
                     o = _pack_prepared(d_streams, b, n_tiles, k_max, cap)
-                    return (o[0, 0] % jnp.uint32(2048)).astype(jnp.int32), \
-                        o[0, 1]
-                c, _ = jax.lax.scan(body, jnp.int32(32), None, length=k)
-                return c
+                    return ((o[0, 0] ^ o[0, 1])
+                            % jnp.uint32(2048)).astype(jnp.int32)
+                return jax.lax.fori_loop(0, k, body, jnp.int32(32))
             return fn
-        t_pack = slope_time(mk_pack)
+        t_pack = slope_time(mk_pack, "pack")
         per_iter = t_enc + t_pack
         extra["encode_kernel_gbps"] = round(n / t_enc / 1e9, 2)
         extra["pack_kernel_gbps"] = round(n / t_pack / 1e9, 2)
@@ -183,39 +199,38 @@ def main() -> None:
             cb8 = Codebook.from_frequencies(freqs, 8)
             dc8, dl8 = jnp.asarray(cb8.codes), jnp.asarray(cb8.lengths)
 
-            def mk_encode8(k):
+            def mk_encode8():
                 @jax.jit
-                def fn():
-                    def body(carry, _):
+                def fn(k):
+                    def body(_, carry):
                         dcc = dc8.at[255].set(carry)
                         out, bits = encode_blocks_pallas(
                             db, dcc, dl8, dv, 256, max_code_len=8)
-                        return out[0, 0], bits[0]
-                    c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=k)
-                    return c
+                        return out[0, 0] ^ bits[0].astype(jnp.uint32)
+                    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
                 return fn
             try:
-                t8 = slope_time(mk_encode8)
+                t8 = slope_time(mk_encode8, "encode_mcl8")
                 extra["encode_kernel_mcl8_gbps"] = round(n / t8 / 1e9, 2)
                 extra["bits_per_byte_mcl8"] = round(
                     cb8.expected_bits_per_byte(freqs), 4)
             except Exception as e:  # pragma: no cover
                 extra["mcl8_error"] = str(e)[:80]
     else:
-        def mk_pipe(k):
+        def mk_pipe():
             @jax.jit
-            def fn():
-                def body(carry, _):
+            def fn(k):
+                def body(_, carry):
                     bb = db.at[0, 0].set(carry)
                     stream, bits, _o = api.encode_pipeline(
                         bb, dc, dl, dv, cfg.capacity_words)
-                    return stream[0].astype(jnp.uint8), bits[0]
-                c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=k)
-                return c
+                    return (stream[0] ^ bits[0]).astype(jnp.uint8)
+                return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
             return fn
-        per_iter = slope_time(mk_pipe)
+        per_iter = slope_time(mk_pipe, "xla_pipeline")
     gbps = n / per_iter / 1e9
 
+    progress("golden oracle + correctness gate")
     # ---------------- golden oracle baseline --------------------------
     sub8 = (data_ex if data_ex.size <= 8 * 1024 * 1024
             else data_ex[: 8 * 1024 * 1024])
@@ -233,6 +248,7 @@ def main() -> None:
     if "e2e" not in skip and not over_budget("e2e"):
         # host-fed end-to-end wall (dominated by the tunnel on remote
         # devices — see module docstring); capped at 64 MiB of input
+        progress("e2e encode")
         t0 = time.perf_counter()
         api.encode(data_ex, cfg, codebook=cb)
         extra["encode_e2e_gbps"] = round(
@@ -242,18 +258,17 @@ def main() -> None:
     if "hist" not in skip and not over_budget("hist"):
         from huffman_tpu.ops import histogram as hist_ops
 
-        def mk_hist(k):
+        def mk_hist():
             @jax.jit
-            def fn():
-                def body(carry, _):
+            def fn(k):
+                def body(_, carry):
                     nv = n_real - (carry % 2)    # +-1 byte; no input copy
                     h = hist_ops.histogram_onehot(db, n_valid=nv)
-                    return h[0].astype(jnp.int32), h[1]
-                c, _ = jax.lax.scan(body, jnp.int32(0), None, length=k)
-                return c
+                    return (h[0] ^ h[1]).astype(jnp.int32)
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
             return fn
         try:
-            t_h = slope_time(mk_hist)
+            t_h = slope_time(mk_hist, "hist")
             extra["hist_gbps"] = round(n / t_h / 1e9, 2)
         except Exception as e:  # pragma: no cover
             extra["hist_error"] = str(e)[:80]
@@ -267,24 +282,24 @@ def main() -> None:
             from huffman_tpu.wide import _decode_plan, _encode_device
             from huffman_tpu.ops.pallas.wide import decode_wide_pallas
             sub = data_ex
+            progress("wide roundtrip")
             wenc = wide_mod.encode_wide(sub, cfg, codebook=cb)
             out = wide_mod.decode_wide(wenc)
             extra["wide_roundtrip_ok"] = bool(np.array_equal(out, sub))
             extra["wide_ratio"] = round(float(wenc.ratio), 4)
             mcl = int(cb.lengths.max())
 
-            def mk_wide_enc(k):
+            def mk_wide_enc():
                 @jax.jit
-                def fn():
-                    def body(carry, _):
+                def fn(k):
+                    def body(_, carry):
                         dcc = dc.at[255].set(carry)
                         p0, _p1, bases, _c = _encode_device(
                             db, dcc, dl, dv, jnp.int32(mcl))
-                        return p0[0, 0], bases[0, 0]
-                    c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=k)
-                    return c
+                        return p0[0, 0] ^ bases[0, 0].astype(jnp.uint32)
+                    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
                 return fn
-            t_we = slope_time(mk_wide_enc)
+            t_we = slope_time(mk_wide_enc, "wide_encode")
             extra["wide_encode_dev_gbps"] = round(n / t_we / 1e9, 3)
 
             payload, roff0, g0a, roff1, g0b, nk = _decode_plan(wenc)
@@ -295,18 +310,17 @@ def main() -> None:
                   (roff0, g0a, roff1, g0b, wenc.bases.reshape(-1),
                    lim_b, off, np.int32(min_len), tri, perm, nk)]
 
-            def mk_wide_dec(k):
+            def mk_wide_dec():
                 @jax.jit
-                def fn():
-                    def body(carry, _):
+                def fn(k):
+                    def body(_, carry):
                         p = d_pl.at[0, 0].set(carry)
                         o = decode_wide_pallas(
                             p, *dd, mcl=mcl, two_row_perm=perm.size > 128)
-                        return o[0, 0].astype(jnp.uint32), o[0, 1]
-                    c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=k)
-                    return c
+                        return (o[0, 0] ^ o[0, 1]).astype(jnp.uint32)
+                    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
                 return fn
-            t_wd = slope_time(mk_wide_dec)
+            t_wd = slope_time(mk_wide_dec, "wide_decode")
             extra["wide_decode_dev_gbps"] = round(
                 len(sub) / t_wd / 1e9, 3)
         except Exception as e:  # pragma: no cover
@@ -342,17 +356,16 @@ def main() -> None:
                 int(np.asarray(bits1).astype(np.int64).sum())
                 == int(bits_host.astype(np.int64).sum()))
 
-            def mk_p1(k):
+            def mk_p1():
                 @jax.jit
-                def fn():
-                    def body(carry, _):
+                def fn(k):
+                    def body(_, carry):
                         dcc = dc.at[255].set(carry)
                         s, b, _w2, _sh2, _h2 = p1(d_b, d_v, dcc, dl)
-                        return s[0, 0], b[0]
-                    c, _ = jax.lax.scan(body, jnp.uint32(0), None, length=k)
-                    return c
+                        return s[0, 0] ^ b[0].astype(jnp.uint32)
+                    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
                 return fn
-            t_sh = slope_time(mk_p1)
+            t_sh = slope_time(mk_p1, "sharded_encode")
             extra["sharded_encode_kernel_gbps"] = round(n / t_sh / 1e9, 2)
         except Exception as e:  # pragma: no cover
             extra["sharded_error"] = str(e)[:120]

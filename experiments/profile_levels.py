@@ -34,10 +34,12 @@ def main():
         encode_tree_chunks, pack_table, BLOCK_BYTES, _U32)
 
     mb = int(os.environ.get("HUFF_BENCH_MB", 64))
+    mcl = int(os.environ.get("HUFF_MCL", 16))   # kernel tree bound
     n = mb * 1024 * 1024
     data = make_data(n)
     cfg = CodecConfig()
-    cb = Codebook.from_data(data, cfg.max_code_len)
+    from huffman_tpu.codebook import byte_histogram_host
+    cb = Codebook.from_frequencies(byte_histogram_host(data), min(mcl, 12))
     blocks, n_real = api._as_blocks(data, cfg)
     valid = api.valid_per_block(n_real, blocks.shape[0], cfg.block_bytes)
     db = jax.device_put(jnp.asarray(blocks))
@@ -54,7 +56,8 @@ def main():
                           for c in range(8)]
             vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
                                             valid_ref[:, 0:1],
-                                            stop_level=stop_level)
+                                            stop_level=stop_level,
+                                            max_code_len=mcl)
             acc = vals[0]
             for v in vals[1:]:
                 acc = acc ^ v

@@ -152,6 +152,31 @@ def _kernel_mcl(cb: Codebook) -> int:
     return 16
 
 
+def _cap_schedule(cfg: CodecConfig, kmcl: int,
+                  est_bpb: float | None) -> list[int]:
+    """Capacity buckets (words) to try, narrowest first.
+
+    The last entry is always safe in the sense of the old fixed choice:
+    min(cfg capacity, the kmcl*block_bytes bound codeword lengths imply —
+    blocks cannot emit more than max_code_len bits/byte, so capacity
+    beyond that is dead lanes).  A narrower SPECULATIVE bucket is
+    prepended when the codebook's expected rate (its training-histogram
+    expectation, Codebook.est_bpb) clears it by a 0.75 bits/byte margin;
+    api.encode retries at the safe bucket if any block's exact bit count
+    exceeds it — detection is free, the encode kernel always returns
+    exact per-block bits.
+    """
+    safe = min(cdiv(cfg.capacity_words, 128) * 128,
+               cdiv(kmcl * cfg.block_bytes // 32, 128) * 128)
+    spec_w = cfg.spec_bits_per_byte * cfg.block_bytes // 32
+    if (cfg.spec_bits_per_byte > 0 and est_bpb is not None
+            and est_bpb <= cfg.spec_bits_per_byte - 0.75):
+        spec = cdiv(max(spec_w, 128), 128) * 128
+        if spec < safe:
+            return [spec, safe]
+    return [safe]
+
+
 def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
                            max_code_len: int):
     """Pipelined host->device staging + per-chunk encode kernels.
@@ -260,19 +285,33 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
     valid = valid_per_block(n, blocks.shape[0], cfg.block_bytes)
     if _pallas_ok(cfg):
         kmcl = _kernel_mcl(cb)
-        if blocks.shape[0] > CHUNK_BLOCKS:
-            # big input: chunked staging overlaps H2D with encode compute
-            from .ops.pallas.pack2 import pack_dense_parallel
-            cap = cdiv(cfg.capacity_words, 128) * 128
-            streams, bits_all = _encode_blocks_chunked(
-                blocks, valid, cb.codes, cb.lengths, cap, kmcl)
-            stream = pack_dense_parallel(streams, bits_all)
-            block_bits = bits_all[: blocks.shape[0]]
-        else:
-            stream, block_bits = encode_pipeline_pallas(
-                jnp.asarray(blocks), jnp.asarray(cb.codes),
-                jnp.asarray(cb.lengths), jnp.asarray(valid),
-                cfg.capacity_words, max_code_len=kmcl)
+        from .ops.pallas.encode import encode_blocks_pallas
+        from .ops.pallas.pack2 import pack_dense_parallel
+        for cap in _cap_schedule(cfg, kmcl, cb.est_bpb):
+            if blocks.shape[0] > CHUNK_BLOCKS:
+                # big input: chunked staging overlaps H2D with encode
+                streams, bits_all = _encode_blocks_chunked(
+                    blocks, valid, cb.codes, cb.lengths, cap, kmcl)
+            else:
+                nb0 = blocks.shape[0]
+                nbb = _bucket_blocks(nb0)
+                bb, vv = jnp.asarray(blocks), jnp.asarray(valid)
+                if nbb != nb0:
+                    bb = jnp.pad(bb, ((0, nbb - nb0), (0, 0)))
+                    vv = jnp.pad(vv, (0, nbb - nb0))
+                streams, bits_dev = encode_blocks_pallas(
+                    bb, jnp.asarray(cb.codes), jnp.asarray(cb.lengths),
+                    vv, cap, max_code_len=kmcl)
+                bits_all = np.asarray(bits_dev)
+            # exact bit counts are capacity-independent: a speculative
+            # capacity that truncated some block is detected here and the
+            # safe bucket re-runs; the final bucket packs regardless (the
+            # cfg-level overflow check below owns that failure mode)
+            if (int(bits_all.max(initial=0)) <= cap * 32
+                    or cap == _cap_schedule(cfg, kmcl, cb.est_bpb)[-1]):
+                stream = pack_dense_parallel(streams, bits_all)
+                block_bits = bits_all[: blocks.shape[0]]
+                break
     else:
         stream, block_bits, _offsets = encode_pipeline(
             jnp.asarray(blocks), jnp.asarray(cb.codes),

@@ -159,6 +159,10 @@ class Codebook:
     codes: np.ndarray      # (256,) uint32, right-aligned values
     lengths: np.ndarray    # (256,) int32
     max_len: int
+    # Expected bits/byte on the histogram this book was built from (None
+    # when unknown, e.g. deserialized from a container).  Drives the
+    # speculative-capacity choice in api.encode (config.spec_bits_per_byte).
+    est_bpb: float | None = None
 
     @staticmethod
     def from_frequencies(freqs: np.ndarray, max_code_len: int = 16) -> "Codebook":
@@ -166,7 +170,9 @@ class Codebook:
         if lengths.max(initial=0) > max_code_len:
             lengths = package_merge_lengths(freqs, max_code_len)
         codes = canonical_codes(lengths)
-        return Codebook(codes=codes, lengths=lengths, max_len=int(lengths.max(initial=0)))
+        cb = Codebook(codes=codes, lengths=lengths,
+                      max_len=int(lengths.max(initial=0)))
+        return dataclasses.replace(cb, est_bpb=cb.expected_bits_per_byte(freqs))
 
     @staticmethod
     def from_frequencies_auto(freqs: np.ndarray, max_code_len: int = 16,

@@ -60,6 +60,15 @@ class CodecConfig:
         preferring a narrower (cap-4/cap-8) codebook, which runs the
         Mosaic encode tree up to ~2x faster (Codebook.from_frequencies_auto).
         0 disables; max_code_len stays the hard cap either way.
+      spec_bits_per_byte: speculative per-block capacity (bits per input
+        byte) for the Mosaic encode path.  When the codebook's expected
+        rate on the stream's own histogram is below this minus a safety
+        margin, the kernels run at this narrower capacity first — the
+        block encoder skips dead top-lane work and the pack kernel stages
+        half the rows — and re-encode at the guaranteed capacity only if
+        some block actually overflowed it (exact per-block bit counts are
+        computed regardless of capacity, so the retry is detected, not
+        guessed).  0 disables speculation.
     """
 
     block_bytes: int = 1024
@@ -68,6 +77,7 @@ class CodecConfig:
     check_overflow: bool = True
     table_bits: int | None = None
     narrow_tol: float = 0.01
+    spec_bits_per_byte: int = 4
 
     def __post_init__(self):
         if self.block_bytes % WORD_BYTES != 0:

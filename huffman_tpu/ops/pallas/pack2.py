@@ -120,6 +120,15 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
     # unconditionally and masked arithmetically — scalar-predicated pl.when
     # regions with per-segment acc_ref RMWs serialize on VMEM and break the
     # VPU pipeline across segments.
+    #
+    # The bit-shift runs on the block's STRIP (stride rows + a spill row),
+    # not the 8-row tile: a cap-256 block touches <= 257 of the tile's 1024
+    # words, so shifting at tile width wastes ~4x of the per-segment vector
+    # work.  The strip is placed into the tile by the same mod-1024 flat
+    # rotation, with the row gather reading from the short strip and the
+    # rows beyond it masked (they read the zero extension in the old
+    # scheme; an arithmetic mask here).
+    srows = stride + 1 if stride < TILE_ROWS else TILE_ROWS
     acc = jnp.zeros((TILE_ROWS, 128), _U32)
     for k in range(k_max):
         wb = mw_ref[p0 + k]                            # block start word
@@ -129,34 +138,43 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
         nw = jnp.where(bits == 0, 0, (sh + bits + 31) >> 5)
         dw = wb - tile_w0           # in [-(cap + align_b*cap), 1024)
 
-        # the block's stream: stride rows at window offset k*stride,
-        # zero-extended in registers to the 8-row tile ring (the flat
-        # rotation below is mod 1024 over real zeros; the spill word at
-        # index cap lands in the zero extension)
-        pad = win[k * stride:(k + 1) * stride]
-        if stride < TILE_ROWS:
-            pad = jnp.concatenate(
-                [pad, jnp.zeros((TILE_ROWS - stride, 128), _U32)], axis=0)
+        strip = win[k * stride:(k + 1) * stride]       # (stride, 128)
 
         # bit-shift right by sh (MSB-first stream): word j gets
         # (s[j] >> sh) | (s[j-1] << (32-sh)); the double-shift
         # (pv << (31-sh)) << 1 is well-defined for every sh in [0,32)
         # and yields 0 at sh == 0 — no select needed.
-        pv = jnp.roll(pad, 1, axis=1)
-        prow = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 0)
-        plan = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 1)
-        pv = jnp.where(plan == 0, jnp.roll(pv, 1, axis=0), pv)
+        pv = jnp.roll(strip, 1, axis=1)
+        prow = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 0)
+        plan = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 1)
+        if stride > 1:
+            pv = jnp.where(plan == 0, jnp.roll(pv, 1, axis=0), pv)
         pv = jnp.where((plan == 0) & (prow == 0), _U32(0), pv)
-        xs = _shr_u(pad, sh) | _shl_u(_shl_u(pv, 31 - sh), jnp.int32(1))
+        xs = _shr_u(strip, sh) | _shl_u(_shl_u(pv, 31 - sh), jnp.int32(1))
+        if srows > stride:
+            # spill row: word stride*128 (the shifted-out tail of the
+            # strip's last word) at lane 0; other lanes are past nw.
+            lst = jnp.roll(strip[stride - 1:stride], 1, axis=1)
+            spill = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0,
+                _shl_u(_shl_u(lst, 31 - sh), jnp.int32(1)), _U32(0))
+            xs = jnp.concatenate([xs, spill], axis=0)  # (srows, 128)
 
         # place at word offset dw within the tile: flat-rotate right
         # by dw mod 1024 over the (8,128) row-major layout (lane gather +
         # one row gather that folds in the lane-borrow), then mask the
-        # live range [dw, dw+nw) with a single unsigned compare.
+        # live range [dw, dw+nw) with a single unsigned compare (live
+        # implies the source row is inside the strip: nw <= srows*128).
+        # Mosaic's gather wants indices shaped like the operand, so the
+        # lane rotation runs at strip width and the row gather reads the
+        # zero-extended (8, 128) ring — rows past the strip are zeros.
         rot = (dw + 8192) & (TILE_WORDS - 1)
         rl = rot & 127
         rr = rot >> 7
-        a = jnp.take_along_axis(xs, (lane - rl) & 127, axis=1)
+        a = jnp.take_along_axis(xs, (lane[:srows] - rl) & 127, axis=1)
+        if srows < TILE_ROWS:
+            a = jnp.concatenate(
+                [a, jnp.zeros((TILE_ROWS - srows, 128), _U32)], axis=0)
         rows_idx = (row_i - rr - (lane < rl) + 2 * TILE_ROWS) \
             & (TILE_ROWS - 1)
         contrib = jnp.take_along_axis(a, rows_idx, axis=0)
@@ -301,6 +319,12 @@ def plan_pack(block_bits_host, cap_words: int = 256) -> tuple[int, int]:
     first -= first % align_b
     last = np.maximum(
         np.searchsorted(word_base, tile_starts + TILE_WORDS, "left") - 1, 0)
+    # zero-bit tail blocks (power-of-two bucket padding) share the final
+    # offset and contribute nothing; without this clamp they inflate the
+    # coverage K past the corruption guard for small inputs
+    nz = np.nonzero(bits)[0]
+    last = np.minimum(last, int(nz[-1]) if nz.size else 0)
+    last = np.maximum(last, first)
     k_need = int((last - first).max()) + 1
     if k_need > 48 + align_b:  # full 1 KiB blocks emit >= 1024 bits, so a
         raise ValueError(      # 1024-word tile is covered by <= 34 blocks

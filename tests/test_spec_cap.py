@@ -1,0 +1,95 @@
+"""Speculative-capacity schedule + overflow retry (api.encode Mosaic path).
+
+The Mosaic path encodes at a narrow speculative capacity bucket first
+(config.spec_bits_per_byte) and re-encodes at the safe bucket only when a
+block's exact bit count exceeds it.  These tests force the Mosaic branch
+on CPU via interpreter-mode kernels and verify (a) the schedule logic,
+(b) bit-exactness against the golden oracle both when speculation holds
+and when it must retry.
+"""
+
+import numpy as np
+import pytest
+
+from huffman_tpu import api, golden
+from huffman_tpu.codebook import Codebook
+from huffman_tpu.config import CodecConfig
+from huffman_tpu.golden.numpy_codec import packed_bytes_to_words
+
+
+def test_cap_schedule():
+    cfg = CodecConfig()  # capb 8 -> 256 words, spec 4 -> 128 words
+    # skewed book: speculate at 128, safe 256
+    assert api._cap_schedule(cfg, 8, est_bpb=2.1) == [128, 256]
+    # expectation too close to the bucket: no speculation
+    assert api._cap_schedule(cfg, 8, est_bpb=3.5) == [256]
+    # unknown expectation (deserialized book): no speculation
+    assert api._cap_schedule(cfg, 8, est_bpb=None) == [256]
+    # mcl-4 book: the length bound alone caps blocks at 128 words
+    assert api._cap_schedule(cfg, 4, est_bpb=3.9) == [128]
+    # wide books keep the cfg capacity as the safe bucket
+    assert api._cap_schedule(cfg, 16, est_bpb=None) == [256]
+    assert api._cap_schedule(
+        CodecConfig(capacity_bits_per_byte=16), 16, None) == [512]
+    # speculation disabled
+    assert api._cap_schedule(
+        CodecConfig(spec_bits_per_byte=0), 8, 2.1) == [256]
+
+
+@pytest.fixture
+def mosaic_on_cpu(monkeypatch):
+    """Force api.encode's Mosaic branch with interpreter-mode kernels."""
+    from huffman_tpu.ops.pallas import encode as enc_mod
+    from huffman_tpu.ops.pallas import pack2 as pack_mod
+
+    monkeypatch.setattr(api, "_pallas_ok", lambda cfg: True)
+    calls = {"encode": [], "pack": []}
+    real_enc = enc_mod.encode_blocks_pallas
+    real_pack = pack_mod.pack_dense_parallel
+
+    def enc(*a, **k):
+        calls["encode"].append(a[4] if len(a) > 4 else k["capacity_words"])
+        k["interpret"] = True
+        return real_enc(*a, **k)
+
+    def pack(*a, **k):
+        calls["pack"].append(a[0].shape[1])
+        k["interpret"] = True
+        return real_pack(*a, **k)
+
+    monkeypatch.setattr(enc_mod, "encode_blocks_pallas", enc)
+    monkeypatch.setattr(pack_mod, "pack_dense_parallel", pack)
+    return calls
+
+
+def _check_vs_golden(data, enc):
+    cb = enc.codebook
+    ref_bytes, ref_bits = golden.encode(data, cb)
+    assert enc.total_bits == ref_bits
+    assert np.array_equal(enc.stream_words,
+                          packed_bytes_to_words(ref_bytes)[: len(enc.stream_words)])
+
+
+def test_spec_holds(mosaic_on_cpu, rng):
+    # skewed stream: expectation ~2 bits/byte, every block fits 128 words
+    data = (rng.geometric(0.5, size=4 * 1024 + 37) % 32).astype(np.uint8)
+    enc = api.encode(data, CodecConfig())
+    assert mosaic_on_cpu["encode"] == [128]      # one speculative pass
+    assert mosaic_on_cpu["pack"] == [128]
+    _check_vs_golden(data, enc)
+
+
+def test_spec_retry(mosaic_on_cpu, rng):
+    # mostly-skewed stream with one solid block of the rarest symbols:
+    # global expectation clears the speculative gate, but that block's
+    # exact bits exceed 128 words -> detected, safe-bucket re-encode
+    head = (rng.geometric(0.5, size=7 * 1024) % 8).astype(np.uint8)
+    # 16 rare symbols at ~1/128 global frequency -> ~7-bit codes: the hot
+    # block needs ~7 * 1024 bits, past the 128-word speculative bucket
+    hot = (200 + np.arange(1024, dtype=np.uint8) % 16).astype(np.uint8)
+    data = np.concatenate([head, hot])
+    enc = api.encode(data, CodecConfig())
+    assert mosaic_on_cpu["encode"] == [128, 256]  # speculative then safe
+    assert mosaic_on_cpu["pack"] == [256]         # packed once, safe cap
+    assert int(np.max(enc.block_bits)) > 128 * 32
+    _check_vs_golden(data, enc)
