@@ -144,10 +144,16 @@ def main() -> None:
         from huffman_tpu.ops.pallas.encode import encode_blocks_pallas
         from huffman_tpu.ops.pallas.pack2 import _pack_prepared, plan_pack
         kmcl = api._kernel_mcl(cb)
-        # the product path's capacity choice (speculative bucket first;
-        # api.encode retries at the safe bucket on real overflow)
-        cap = api._cap_schedule(cfg, kmcl, cb.est_bpb)[0]
+        # the product path's capacity + tree-width choice (speculative
+        # bucket and speculative narrow tree first; api.encode patches
+        # flagged blocks / retries at the safe bucket on real overflow)
+        sched = api._cap_schedule(cfg, kmcl, cb.est_bpb)
+        cap = sched[0]
+        halve_to = api._spec_halve_to(cap, sched, kmcl, cb)
         extra["cap_words"] = cap
+        extra["tree_chunks"] = halve_to or api._static_chunks(kmcl)
+        extra["est_w4_frac"] = round(cb.est_w4_frac or 0, 5)
+        extra["est_w8_frac"] = round(cb.est_w8_frac or 0, 5)
 
         # Slope chains thread the iteration-to-iteration dependence
         # through a SMALL operand (codes: 1 KiB) rather than the input
@@ -161,7 +167,8 @@ def main() -> None:
                 def body(_, carry):
                     dcc = dc.at[255].set(carry)
                     out, bits = encode_blocks_pallas(
-                        db, dcc, dl, dv, cap, max_code_len=kmcl)
+                        db, dcc, dl, dv, cap, max_code_len=kmcl,
+                        halve_to_chunks=halve_to)
                     return out[0, 0] ^ bits[0].astype(jnp.uint32)
                 return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
             return fn
@@ -169,8 +176,12 @@ def main() -> None:
 
         progress("one-shot encode for pack staging")
         streams, bits_dev = jax.block_until_ready(encode_blocks_pallas(
-            db, dc, dl, dv, cap, max_code_len=kmcl))
-        bits_host = np.asarray(bits_dev)
+            db, dc, dl, dv, cap, max_code_len=kmcl,
+            halve_to_chunks=halve_to))
+        from huffman_tpu.ops.pallas.encode import BITS_MASK
+        bits_raw = np.asarray(bits_dev)
+        extra["spec_patched_blocks"] = int(np.count_nonzero(bits_raw >> 30))
+        bits_host = bits_raw & BITS_MASK
         n_tiles, k_max = plan_pack(bits_host, cap)
         d_bits = jax.device_put(jnp.asarray(bits_host.astype(np.int32)))
         d_streams = jax.device_put(streams)

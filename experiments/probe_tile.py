@@ -19,8 +19,9 @@ from huffman_tpu.ops.pallas.encode import encode_blocks_pallas  # noqa: E402
 
 
 def main():
+    import os
     tiles = [int(t) for t in sys.argv[1:]] or [32, 64, 128, 256]
-    mb = 64
+    mb = int(os.environ.get("HUFF_BENCH_MB", 64))
     n = mb << 20
     data = make_data(n)
     cfg = CodecConfig()
@@ -31,8 +32,9 @@ def main():
     dc = jax.device_put(jnp.asarray(cb.codes))
     dl = jax.device_put(jnp.asarray(cb.lengths))
     dv = jax.device_put(jnp.asarray(valid))
-    cap = ((cfg.capacity_words + 127) // 128) * 128
-    kmcl = api._kernel_mcl(cb)
+    cap = int(os.environ.get(
+        "HUFF_CAP", ((cfg.capacity_words + 127) // 128) * 128))
+    kmcl = int(os.environ.get("HUFF_MCL", api._kernel_mcl(cb)))
     print(f"kmcl={kmcl} cap={cap} nb={blocks.shape[0]}")
 
     def slope(make_fn, reps=4):

@@ -177,12 +177,48 @@ def _cap_schedule(cfg: CodecConfig, kmcl: int,
     return [safe]
 
 
+def _static_chunks(kmcl: int) -> int:
+    """Merge-tree width (128-lane chunks) the static tree runs at."""
+    return 1 if kmcl <= 4 else 2 if kmcl <= 8 else 4
+
+
+# Acceptable expected fraction of blocks needing the safe-tree re-encode:
+# the patch pass costs ~(flagged fraction) of a full encode plus a row
+# overlay, so a couple of percent keeps speculation strictly profitable.
+SPEC_PATCH_TOL = 0.02
+
+
+def _spec_halve_to(cap: int, sched: list[int], kmcl: int,
+                   cb: Codebook) -> int:
+    """Speculative merge-tree width (chunks) for this pass, 0 = static.
+
+    Only the speculative capacity bucket may narrow the tree (the last
+    bucket must be exact with no re-encode loop).  The width is the
+    narrowest whose EXPECTED patch fraction — from the codebook's
+    window-overflow estimate (codebook._window_overflow_fracs) — is
+    within SPEC_PATCH_TOL: a 1-chunk tree loses bits at >32-bit 4- and
+    8-byte windows, a 2-chunk tree only at 4-byte ones.  Rough v5e rates
+    (experiments/probe_tile.py): 27 / 20 / 12 GB/s at 1 / 2 / 4 chunks.
+    """
+    if cap == sched[-1]:
+        return 0
+    static = _static_chunks(kmcl)
+    if (static > 1 and cb.est_w8_frac is not None
+            and cb.est_w8_frac <= SPEC_PATCH_TOL):
+        return 1
+    if (static > 2 and cb.est_w4_frac is not None
+            and cb.est_w4_frac <= SPEC_PATCH_TOL):
+        return 2
+    return 0
+
+
 def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
-                           max_code_len: int):
+                           max_code_len: int, halve_to: int = 0):
     """Pipelined host->device staging + per-chunk encode kernels.
 
     blocks/valid are HOST arrays; returns (device streams (nbb, cap//...),
-    host bits (nbb,)) with nbb padded to a chunk multiple.
+    host bits (nbb,)) with nbb padded to a chunk multiple.  bits carry
+    the spec-tree violation flag in bit 30 when halve_to > 0.
     """
     from .ops.pallas.encode import encode_blocks_pallas
     nb = blocks.shape[0]
@@ -202,11 +238,47 @@ def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
         db = jnp.asarray(hb)          # async H2D, overlaps prior kernel
         dv = jnp.asarray(hv)
         parts.append(encode_blocks_pallas(
-            db, dc, dl, dv, cap, max_code_len=max_code_len))
+            db, dc, dl, dv, cap, max_code_len=max_code_len,
+            halve_to_chunks=halve_to))
     streams = (jnp.concatenate([s for s, _ in parts])
                if len(parts) > 1 else parts[0][0])
     bits = np.concatenate([np.asarray(b) for _, b in parts])
     return streams, bits
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _overlay_rows(streams, fixed, idx):
+    """streams[idx[i]] = fixed[i] row overlay (idx may repeat; values for
+    a repeated index are identical, so the last write is as good as any).
+    A fori of dynamic_update_slices — XLA keeps the donated buffer in
+    place; a scatter would lower to TPU's ~0.02 GB/s path."""
+    def body(i, s):
+        row = jax.lax.dynamic_slice(fixed, (i, 0), (1, fixed.shape[1]))
+        return jax.lax.dynamic_update_slice(s, row, (idx[i], 0))
+    return jax.lax.fori_loop(0, idx.shape[0], body, streams)
+
+
+def _patch_flagged(streams, blocks, valid, cb: Codebook, cap: int,
+                   kmcl: int, flagged: np.ndarray):
+    """Re-encode spec-tree-flagged blocks with the safe tree and overlay.
+
+    flagged: host indices of blocks whose speculative stream is invalid
+    (bit counts were exact all along, so only the stream rows change).
+    Typically a handful per GiB: a block is flagged when some 8-byte
+    window needs > 32 bits, not when its total rate is high.
+    """
+    from .ops.pallas.encode import encode_blocks_pallas
+    nfix = 64
+    while nfix < flagged.size:
+        nfix *= 2
+    idxp = np.concatenate(
+        [flagged, np.repeat(flagged[:1], nfix - flagged.size)]
+    ).astype(np.int32)
+    fixed, _ = encode_blocks_pallas(
+        jnp.asarray(blocks[idxp]), jnp.asarray(cb.codes),
+        jnp.asarray(cb.lengths), jnp.asarray(valid[idxp]), cap,
+        max_code_len=kmcl)
+    return _overlay_rows(streams, fixed, jnp.asarray(idxp))
 
 
 def encode_pipeline_pallas(byte_blocks, codes, lengths, valid_bytes,
@@ -285,13 +357,19 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
     valid = valid_per_block(n, blocks.shape[0], cfg.block_bytes)
     if _pallas_ok(cfg):
         kmcl = _kernel_mcl(cb)
-        from .ops.pallas.encode import encode_blocks_pallas
+        from .ops.pallas.encode import BITS_MASK, encode_blocks_pallas
         from .ops.pallas.pack2 import pack_dense_parallel
-        for cap in _cap_schedule(cfg, kmcl, cb.est_bpb):
+        sched = _cap_schedule(cfg, kmcl, cb.est_bpb)
+        for cap in sched:
+            # speculative bucket: also run the merge tree itself narrow
+            # (down to 1 chunk) with per-block violation flags; flagged
+            # blocks are re-encoded by the safe tree below
+            halve_to = _spec_halve_to(cap, sched, kmcl, cb)
             if blocks.shape[0] > CHUNK_BLOCKS:
                 # big input: chunked staging overlaps H2D with encode
-                streams, bits_all = _encode_blocks_chunked(
-                    blocks, valid, cb.codes, cb.lengths, cap, kmcl)
+                streams, bits_raw = _encode_blocks_chunked(
+                    blocks, valid, cb.codes, cb.lengths, cap, kmcl,
+                    halve_to)
             else:
                 nb0 = blocks.shape[0]
                 nbb = _bucket_blocks(nb0)
@@ -301,14 +379,19 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
                     vv = jnp.pad(vv, (0, nbb - nb0))
                 streams, bits_dev = encode_blocks_pallas(
                     bb, jnp.asarray(cb.codes), jnp.asarray(cb.lengths),
-                    vv, cap, max_code_len=kmcl)
-                bits_all = np.asarray(bits_dev)
+                    vv, cap, max_code_len=kmcl, halve_to_chunks=halve_to)
+                bits_raw = np.asarray(bits_dev)
+            bits_all = bits_raw & BITS_MASK
             # exact bit counts are capacity-independent: a speculative
             # capacity that truncated some block is detected here and the
             # safe bucket re-runs; the final bucket packs regardless (the
             # cfg-level overflow check below owns that failure mode)
             if (int(bits_all.max(initial=0)) <= cap * 32
-                    or cap == _cap_schedule(cfg, kmcl, cb.est_bpb)[-1]):
+                    or cap == sched[-1]):
+                flagged = np.nonzero(bits_raw >> 30)[0]
+                if flagged.size:
+                    streams = _patch_flagged(streams, blocks, valid, cb,
+                                             cap, kmcl, flagged)
                 stream = pack_dense_parallel(streams, bits_all)
                 block_bits = bits_all[: blocks.shape[0]]
                 break

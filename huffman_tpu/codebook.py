@@ -146,6 +146,32 @@ def canonical_codes(lengths: np.ndarray) -> np.ndarray:
     return codes
 
 
+def _window_overflow_fracs(freqs: np.ndarray,
+                           lengths: np.ndarray) -> tuple[float, float]:
+    """(P[1 KiB block has a >32-bit 4B window], same for 8B windows).
+
+    Exact under byte-independence: the per-byte code-length pmf is
+    convolved to the 4- and 8-byte window sums (aligned windows, which is
+    what the merge tree's items are); a block has 256 (128) such windows.
+    Used to pick how far the speculative tree may narrow — see
+    ops/pallas/encode.encode_tree_chunks halve_to_chunks.
+    """
+    f = np.asarray(freqs, dtype=np.float64)
+    tot = f.sum()
+    if tot <= 0:
+        return 0.0, 0.0
+    pmf = np.zeros(int(lengths.max(initial=0)) + 1)
+    np.add.at(pmf, np.asarray(lengths, np.int64), f / tot)
+    w2 = np.convolve(pmf, pmf)
+    w4 = np.convolve(w2, w2)
+    p4 = float(w4[33:].sum())
+    w8 = np.convolve(w4, w4)
+    p8 = float(w8[33:].sum())
+    # the 1-chunk tree flags on BOTH its L2 (4B) and L3 (8B) halvings
+    return (float(1 - (1 - p4) ** 256),
+            float(1 - (1 - p4) ** 256 * (1 - p8) ** 128))
+
+
 @dataclasses.dataclass(frozen=True)
 class Codebook:
     """A canonical Huffman codebook over the byte alphabet.
@@ -163,6 +189,15 @@ class Codebook:
     # when unknown, e.g. deserialized from a container).  Drives the
     # speculative-capacity choice in api.encode (config.spec_bits_per_byte).
     est_bpb: float | None = None
+    # Expected fraction of 1 KiB blocks containing a 4-byte (8-byte)
+    # window whose codes exceed 32 bits, from the training histogram
+    # under an independence assumption.  Drives the speculative TREE
+    # width (api encode: a 2-chunk tree loses bits exactly at >32-bit
+    # 4-byte windows, a 1-chunk tree also at >32-bit 8-byte windows);
+    # flagged blocks are re-encoded, so this is a cost estimate, not a
+    # correctness input.  None when unknown.
+    est_w4_frac: float | None = None
+    est_w8_frac: float | None = None
 
     @staticmethod
     def from_frequencies(freqs: np.ndarray, max_code_len: int = 16) -> "Codebook":
@@ -172,7 +207,10 @@ class Codebook:
         codes = canonical_codes(lengths)
         cb = Codebook(codes=codes, lengths=lengths,
                       max_len=int(lengths.max(initial=0)))
-        return dataclasses.replace(cb, est_bpb=cb.expected_bits_per_byte(freqs))
+        w4, w8 = _window_overflow_fracs(freqs, lengths)
+        return dataclasses.replace(
+            cb, est_bpb=cb.expected_bits_per_byte(freqs),
+            est_w4_frac=w4, est_w8_frac=w8)
 
     @staticmethod
     def from_frequencies_auto(freqs: np.ndarray, max_code_len: int = 16,

@@ -269,7 +269,8 @@ def _expand_lens(alenc, S: int, it, n_chunks: int):
 
 def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
                        stop_level: int = 10, max_code_len: int = 16,
-                       capture_l2: bool = False, cap_chunks: int = 0):
+                       capture_l2: bool = False, cap_chunks: int = 0,
+                       halve_to_chunks: int = 0):
     """Chunkwise encode of T blocks -> (4 chunks of (T,128) u32, lens).
 
     sym_chunks: 8 chunks of (T, 128) int32 byte symbols (1024 bytes/block,
@@ -293,6 +294,18 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     many output chunks — callers that slice the stream to capacity_words
     anyway (the dense encoder) skip the dead top-lane work; bit counts
     (lens) are unaffected, so overflow detection still sees the truth.
+    halve_to_chunks: SPECULATIVE tree narrowing.  Keep lane-halving
+    (compacting) merges going past the static-safety bound until the tree
+    is this many chunks wide — the whole merge tree then runs ~4x (1
+    chunk) narrower than the mcl-16 layout, which measures ~2.2x faster
+    on v5e (experiments/probe_tile.py).  A halving merge ORs the pair
+    into ONE word, so an item whose merged bit length exceeds 32 loses
+    bits; every such item is detected EXACTLY (lengths are pure adds,
+    always correct) and returned as a per-lane violation mask — the
+    caller re-encodes flagged blocks with the safe tree (api._patch
+    flow).  Mutually exclusive with capture_l2.  Return value becomes
+    (vals, lens, viol) with viol a (T, 128) bool mask (any-lane-true per
+    row == block needs the safe re-encode).
     """
     t = sym_chunks[0].shape[0]
     it = _iota128(t)
@@ -325,17 +338,32 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     S = 1
     n_stop = 1 << (10 - stop_level)
     l2 = None
+    viol = None
+    if capture_l2 and halve_to_chunks:
+        raise ValueError("capture_l2 and halve_to_chunks are exclusive")
     # compacting merges: a merged pair still fits one word, so halve the
-    # lane count (deinterleave + single-word OR) instead of spreading
-    while (2 * item_bytes * max_code_len <= 32 and n_items > n_stop
-           and len(vals) > 1):
+    # lane count (deinterleave + single-word OR) instead of spreading.
+    # Statically safe while 2*item_bytes*max_code_len <= 32; beyond that,
+    # halve_to_chunks keeps halving SPECULATIVELY with exact violation
+    # masks (merged length > 32 means the single-word OR dropped bits).
+    while (n_items > n_stop and len(vals) > 1
+           and (2 * item_bytes * max_code_len <= 32
+                or len(vals) > max(halve_to_chunks, 0) > 0)):
+        spec = 2 * item_bytes * max_code_len > 32
         nd = len(vals) // 2
         a_v = _even_odd(vals, 0, nd, it)
         b_v = _even_odd(vals, 1, nd, it)
         a_l = _even_odd(alenc, 0, nd, it)
         b_l = _even_odd(alenc, 1, nd, it)
-        vals = [av | _shr_u(bv, al) for av, bv, al in zip(a_v, b_v, a_l)]
+        shr = _safe_shr if spec else _shr_u
+        vals = [av | shr(bv, al) for av, bv, al in zip(a_v, b_v, a_l)]
         alenc = [al + bl for al, bl in zip(a_l, b_l)]
+        if spec:
+            # every lane of every chunk is a live item here: halvings
+            # stop at >= 1 chunk = 128 items, and LANES/128 divides evenly
+            for ln in alenc:
+                v = ln > 32
+                viol = v if viol is None else (viol | v)
         n_items //= 2
         item_bytes *= 2
         if item_bytes == 4:
@@ -356,6 +384,10 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     lens = _expand_lens(alenc, max(S, 1), it, len(vals))
     if capture_l2:
         return vals, lens, l2
+    if halve_to_chunks:
+        if viol is None:    # tree was statically narrow enough already
+            viol = jnp.zeros_like(it) > 0
+        return vals, lens, viol
     return vals, lens
 
 
@@ -370,19 +402,32 @@ def encode_tree_body(sym, table_lanes, valid_col):
 
 
 def _encode_kernel(table_ref, valid_ref, sym_ref, out_ref, bits_ref,
-                   *, cap_words: int, max_code_len: int):
+                   *, cap_words: int, max_code_len: int,
+                   halve_to: int = 0):
     sym_chunks = [sym_ref[:, c * 128:(c + 1) * 128].astype(jnp.int32)
                   for c in range(8)]
-    vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
-                                    valid_ref[:, 0:1],
-                                    max_code_len=max_code_len,
-                                    cap_chunks=-(-cap_words // 128))
+    if halve_to:
+        vals, lens, viol = encode_tree_chunks(
+            sym_chunks, table_ref[:], valid_ref[:, 0:1],
+            max_code_len=max_code_len, cap_chunks=-(-cap_words // 128),
+            halve_to_chunks=halve_to)
+    else:
+        vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
+                                        valid_ref[:, 0:1],
+                                        max_code_len=max_code_len,
+                                        cap_chunks=-(-cap_words // 128))
     stream = jnp.concatenate(vals, axis=1)
     if stream.shape[1] < cap_words:       # compact tree narrower than cap
         stream = jnp.pad(stream,
                          ((0, 0), (0, cap_words - stream.shape[1])))
     out_ref[:] = stream[:, :cap_words]
-    bits_ref[:] = jnp.broadcast_to(lens[0][:, 0:1], bits_ref.shape)
+    bitsv = lens[0][:, 0:1]
+    if halve_to:
+        # per-block violation flag rides in bit 30 of the bits output
+        # (block bits <= 16384 use 15 bits; callers mask with BITS_MASK)
+        f = jnp.max(viol.astype(jnp.int32), axis=1, keepdims=True)
+        bitsv = bitsv | (f << 30)
+    bits_ref[:] = jnp.broadcast_to(bitsv, bits_ref.shape)
 
 
 def pack_table(codes, lengths) -> "jax.Array":
@@ -396,17 +441,26 @@ def pack_table(codes, lengths) -> "jax.Array":
                             jnp.zeros((6, 128), jnp.int32)], axis=0)
 
 
+BITS_MASK = (1 << 30) - 1      # bits output: bit 30 = spec-tree violation
+
+
 @functools.partial(jax.jit,
                    static_argnames=("capacity_words", "block_tile",
-                                    "interpret", "max_code_len"))
+                                    "interpret", "max_code_len",
+                                    "halve_to_chunks"))
 def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          lengths: jax.Array, valid_bytes: jax.Array,
-                         capacity_words: int, block_tile: int = 128,
-                         interpret: bool = False, max_code_len: int = 16):
+                         capacity_words: int, block_tile: int = 256,
+                         interpret: bool = False, max_code_len: int = 16,
+                         halve_to_chunks: int = 0):
     """Drop-in twin of ops.encode.encode_blocks on the Pallas path.
 
     byte_blocks: (NB, 1024) uint8 (block_bytes must be 1024 on this path).
     Returns (packed (NB, capacity_words) u32, block_bits (NB,) i32).
+    With halve_to_chunks > 0 the merge tree runs speculatively narrow
+    (see encode_tree_chunks): block_bits stays exact, and bit 30 of each
+    entry flags a block whose stream is invalid and must be re-encoded
+    with the safe tree (mask with BITS_MASK for the count).
     """
     nb, bb = byte_blocks.shape
     if bb != BLOCK_BYTES:
@@ -425,7 +479,8 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
 
     out, bits = pl.pallas_call(
         functools.partial(_encode_kernel, cap_words=capacity_words,
-                          max_code_len=max_code_len),
+                          max_code_len=max_code_len,
+                          halve_to=halve_to_chunks),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i: (0, 0),

@@ -61,65 +61,71 @@ def _stage_geometry(cap_words: int) -> tuple[int, int, int]:
 _MW = 2048        # meta SMEM window: 1024-aligned (1-D SMEM DMA tiling
                   # granularity), covers (f - f%1024)..f+K
 
+TB = 4            # output tiles assembled per grid step: the per-segment
+                  # ops are 1-2 vregs each, so a single tile's dependent
+                  # accumulation chain leaves the VPU latency-bound; TB
+                  # independent chains interleave and pipeline (same
+                  # reason the encode kernel runs block_tile=256)
+
 
 def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
                  out_ref, win_ref, mw_ref, mx_ref, sems, *,
-                 k_max: int, cap_words: int, n_tiles: int):
+                 k_max: int, cap_words: int, n_steps: int):
     g = pl.program_id(0)
     stride, _ab, _km = _stage_geometry(cap_words)
     wrows = stride * k_max
 
-    # -- stream window: double-buffered VMEM DMA per tile.  Meta windows:
-    # SMEM, single-buffered, refetched ONLY when the 1024-aligned window
-    # base advances (once per ~_MW/2 tiles) — meta values are read as
-    # SMEM scalars (a vector->scalar reduce per segment costs ~100x
-    # more), and 1-D SMEM DMA slices must be 1024-element granular.
-    # Dynamic DMA starts carry explicit divisibility proofs
-    # (pl.multiple_of): 8 rows for the 2-D stream window (f_tile is
-    # pre-aligned so f*stride is 8-row granular).
-    def win_copy(step, slot):
-        r0 = pl.multiple_of(wrow_ref[step], TILE_ROWS)
+    # -- stream windows: double-buffered VMEM DMA, one window per subtile
+    # (TB per step).  Meta windows: SMEM, single-buffered, refetched ONLY
+    # when the 1024-aligned window base advances (once per ~_MW/2 tiles)
+    # — meta values are read as SMEM scalars (a vector->scalar reduce per
+    # segment costs ~100x more), and 1-D SMEM DMA slices must be
+    # 1024-element granular.  Dynamic DMA starts carry explicit
+    # divisibility proofs (pl.multiple_of): 8 rows for the 2-D stream
+    # window (f_tile is pre-aligned so f*stride is 8-row granular).
+    def win_copy(step, slot, j):
+        r0 = pl.multiple_of(wrow_ref[step * TB + j], TILE_ROWS)
+        off = pl.multiple_of((slot * TB + j) * wrows, TILE_ROWS)
         return pltpu.make_async_copy(
             streams_hbm.at[pl.ds(r0, wrows)],
-            win_ref.at[pl.ds(slot * wrows, wrows)], sems.at[slot, 0])
+            win_ref.at[pl.ds(off, wrows)], sems.at[slot, j])
 
-    f = f_ref[g]
+    f = f_ref[g * TB]
     a0 = pl.multiple_of((f >> 10) << 10, 1024)
-    prev_a0 = (f_ref[jnp.maximum(g - 1, 0)] >> 10) << 10
+    prev_a0 = (f_ref[jnp.maximum(g - 1, 0) * TB] >> 10) << 10
 
     @pl.when(g == 0)
     def _():
-        win_copy(0, 0).start()
+        for j in range(TB):
+            win_copy(0, 0, j).start()
 
     @pl.when((g == 0) | (a0 != prev_a0))
     def _():
         cw = pltpu.make_async_copy(
-            metaw_hbm.at[pl.ds(a0, _MW)], mw_ref, sems.at[0, 1])
+            metaw_hbm.at[pl.ds(a0, _MW)], mw_ref, sems.at[0, TB])
         cx = pltpu.make_async_copy(
-            metax_hbm.at[pl.ds(a0, _MW)], mx_ref, sems.at[0, 2])
+            metax_hbm.at[pl.ds(a0, _MW)], mx_ref, sems.at[0, TB + 1])
         cw.start()
         cx.start()
         cw.wait()
         cx.wait()
 
-    @pl.when(g + 1 < n_tiles)
+    @pl.when(g + 1 < n_steps)
     def _():
-        win_copy(g + 1, (g + 1) % 2).start()
+        for j in range(TB):
+            win_copy(g + 1, (g + 1) % 2, j).start()
 
-    win_copy(g, g % 2).wait()
     slot = g % 2
-    win = win_ref[pl.ds(pl.multiple_of(slot * wrows, TILE_ROWS), wrows)]
-
-    p0 = f - a0
     row_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
     flat = row_i * 128 + lane
-    tile_w0 = g * TILE_WORDS
+    srows = stride + 1 if stride < TILE_ROWS else TILE_ROWS
 
     # Straight-line accumulation: every segment's contribution is computed
     # unconditionally and masked arithmetically — scalar-predicated pl.when
     # regions with per-segment acc_ref RMWs serialize on VMEM and break the
-    # VPU pipeline across segments.
+    # VPU pipeline across segments.  The TB subtile loops are fully
+    # independent; the Python loop interleaves their segment chains.
     #
     # The bit-shift runs on the block's STRIP (stride rows + a spill row),
     # not the 8-row tile: a cap-256 block touches <= 257 of the tile's 1024
@@ -128,59 +134,68 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
     # rotation, with the row gather reading from the short strip and the
     # rows beyond it masked (they read the zero extension in the old
     # scheme; an arithmetic mask here).
-    srows = stride + 1 if stride < TILE_ROWS else TILE_ROWS
-    acc = jnp.zeros((TILE_ROWS, 128), _U32)
-    for k in range(k_max):
-        wb = mw_ref[p0 + k]                            # block start word
-        ax = mx_ref[p0 + k]                            # bits<<5 | shift
-        sh = ax & 31
-        bits = ax >> 5
-        nw = jnp.where(bits == 0, 0, (sh + bits + 31) >> 5)
-        dw = wb - tile_w0           # in [-(cap + align_b*cap), 1024)
+    for j in range(TB):
+        win_copy(g, slot, j).wait()
+    for j in range(TB):
+        woff = pl.multiple_of((slot * TB + j) * wrows, TILE_ROWS)
+        win = win_ref[pl.ds(woff, wrows)]
+        p0 = f_ref[g * TB + j] - a0
+        tile_w0 = (g * TB + j) * TILE_WORDS
+        acc = jnp.zeros((TILE_ROWS, 128), _U32)
+        for k in range(k_max):
+            wb = mw_ref[p0 + k]                        # block start word
+            ax = mx_ref[p0 + k]                        # bits<<5 | shift
+            sh = ax & 31
+            bits = ax >> 5
+            nw = jnp.where(bits == 0, 0, (sh + bits + 31) >> 5)
+            dw = wb - tile_w0       # in [-(cap + align_b*cap), 1024)
 
-        strip = win[k * stride:(k + 1) * stride]       # (stride, 128)
+            strip = win[k * stride:(k + 1) * stride]   # (stride, 128)
 
-        # bit-shift right by sh (MSB-first stream): word j gets
-        # (s[j] >> sh) | (s[j-1] << (32-sh)); the double-shift
-        # (pv << (31-sh)) << 1 is well-defined for every sh in [0,32)
-        # and yields 0 at sh == 0 — no select needed.
-        pv = jnp.roll(strip, 1, axis=1)
-        prow = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 0)
-        plan = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 1)
-        if stride > 1:
-            pv = jnp.where(plan == 0, jnp.roll(pv, 1, axis=0), pv)
-        pv = jnp.where((plan == 0) & (prow == 0), _U32(0), pv)
-        xs = _shr_u(strip, sh) | _shl_u(_shl_u(pv, 31 - sh), jnp.int32(1))
-        if srows > stride:
-            # spill row: word stride*128 (the shifted-out tail of the
-            # strip's last word) at lane 0; other lanes are past nw.
-            lst = jnp.roll(strip[stride - 1:stride], 1, axis=1)
-            spill = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0,
-                _shl_u(_shl_u(lst, 31 - sh), jnp.int32(1)), _U32(0))
-            xs = jnp.concatenate([xs, spill], axis=0)  # (srows, 128)
+            # bit-shift right by sh (MSB-first stream): word j gets
+            # (s[j] >> sh) | (s[j-1] << (32-sh)); the double-shift
+            # (pv << (31-sh)) << 1 is well-defined for every sh in [0,32)
+            # and yields 0 at sh == 0 — no select needed.
+            pv = jnp.roll(strip, 1, axis=1)
+            prow = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 0)
+            plan = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 1)
+            if stride > 1:
+                pv = jnp.where(plan == 0, jnp.roll(pv, 1, axis=0), pv)
+            pv = jnp.where((plan == 0) & (prow == 0), _U32(0), pv)
+            xs = _shr_u(strip, sh) | _shl_u(_shl_u(pv, 31 - sh),
+                                            jnp.int32(1))
+            if srows > stride:
+                # spill row: word stride*128 (the shifted-out tail of the
+                # strip's last word) at lane 0; other lanes are past nw.
+                lst = jnp.roll(strip[stride - 1:stride], 1, axis=1)
+                spill = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0,
+                    _shl_u(_shl_u(lst, 31 - sh), jnp.int32(1)), _U32(0))
+                xs = jnp.concatenate([xs, spill], axis=0)  # (srows, 128)
 
-        # place at word offset dw within the tile: flat-rotate right
-        # by dw mod 1024 over the (8,128) row-major layout (lane gather +
-        # one row gather that folds in the lane-borrow), then mask the
-        # live range [dw, dw+nw) with a single unsigned compare (live
-        # implies the source row is inside the strip: nw <= srows*128).
-        # Mosaic's gather wants indices shaped like the operand, so the
-        # lane rotation runs at strip width and the row gather reads the
-        # zero-extended (8, 128) ring — rows past the strip are zeros.
-        rot = (dw + 8192) & (TILE_WORDS - 1)
-        rl = rot & 127
-        rr = rot >> 7
-        a = jnp.take_along_axis(xs, (lane[:srows] - rl) & 127, axis=1)
-        if srows < TILE_ROWS:
-            a = jnp.concatenate(
-                [a, jnp.zeros((TILE_ROWS - srows, 128), _U32)], axis=0)
-        rows_idx = (row_i - rr - (lane < rl) + 2 * TILE_ROWS) \
-            & (TILE_ROWS - 1)
-        contrib = jnp.take_along_axis(a, rows_idx, axis=0)
-        live = (flat - dw).astype(_U32) < nw.astype(_U32)
-        acc = acc | jnp.where(live, contrib, _U32(0))
-    out_ref[:] = acc
+            # place at word offset dw within the tile: flat-rotate right
+            # by dw mod 1024 over the (8,128) row-major layout (lane
+            # gather + one row gather that folds in the lane-borrow),
+            # then mask the live range [dw, dw+nw) with a single unsigned
+            # compare (live implies the source row is inside the strip:
+            # nw <= srows*128).  Mosaic's gather wants indices shaped
+            # like the operand, so the lane rotation runs at strip width
+            # and the row gather reads the zero-extended (8, 128) ring —
+            # rows past the strip are zeros.
+            rot = (dw + 8192) & (TILE_WORDS - 1)
+            rl = rot & 127
+            rr = rot >> 7
+            a = jnp.take_along_axis(xs, (lane[:srows] - rl) & 127, axis=1)
+            if srows < TILE_ROWS:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((TILE_ROWS - srows, 128), _U32)],
+                    axis=0)
+            rows_idx = (row_i - rr - (lane < rl) + 2 * TILE_ROWS) \
+                & (TILE_ROWS - 1)
+            contrib = jnp.take_along_axis(a, rows_idx, axis=0)
+            live = (flat - dw).astype(_U32) < nw.astype(_U32)
+            acc = acc | jnp.where(live, contrib, _U32(0))
+        out_ref[j * TILE_ROWS:(j + 1) * TILE_ROWS] = acc
 
 
 @functools.partial(jax.jit,
@@ -206,6 +221,8 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
     nb, cap = block_streams.shape
     if cap % 128:
         raise ValueError("cap_words must be a multiple of 128")
+    if n_tiles % TB:
+        raise ValueError(f"n_tiles must be a multiple of {TB}")
     cap_rows = cap // 128
     if cap_rows > TILE_ROWS:
         raise ValueError("cap_words must be <= 1024 (8 rows)")
@@ -232,26 +249,28 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
 
     wrow0 = (f_tile * stride).astype(jnp.int32)
 
+    n_steps = n_tiles // TB
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
-        out_specs=pl.BlockSpec((TILE_ROWS, 128), lambda g, f, w: (g, 0),
+        out_specs=pl.BlockSpec((TB * TILE_ROWS, 128),
+                               lambda g, f, w: (g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * wrows, 128), _U32),
+            pltpu.VMEM((2 * TB * wrows, 128), _U32),
             pltpu.SMEM((_MW,), jnp.int32),
             pltpu.SMEM((_MW,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, TB + 2)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_pack_kernel, k_max=k_max, cap_words=cap,
-                          n_tiles=n_tiles),
+                          n_steps=n_steps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), _U32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -313,6 +332,7 @@ def plan_pack(block_bits_host, cap_words: int = 256) -> tuple[int, int]:
     bits = np.asarray(block_bits_host, dtype=np.int64)
     total_words = int((bits.sum() + 31) // 32)
     n_tiles = _bucket_quarter(max(total_words, 1) // TILE_WORDS + 1, 8)
+    n_tiles = -(-n_tiles // TB) * TB      # TB subtiles per grid step
     word_base = np.concatenate([[0], np.cumsum(bits)[:-1] >> 5])
     tile_starts = np.arange(n_tiles, dtype=np.int64) * TILE_WORDS
     first = np.maximum(np.searchsorted(word_base, tile_starts, "left") - 1, 0)

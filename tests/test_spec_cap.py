@@ -79,6 +79,43 @@ def test_spec_holds(mosaic_on_cpu, rng):
     _check_vs_golden(data, enc)
 
 
+def test_spec_tree_clean(mosaic_on_cpu):
+    """Speculative NARROW TREE path: no local violations -> stream is
+    bit-exact straight from the 1-chunk tree (no patch kernel call).
+
+    Deterministic stream: 7 bytes of the hot symbol + one of 16 rare
+    symbols per 8-byte window -> every window is ~13 bits (< 32), the
+    rare symbols get 7-8 bit codes (kernel mcl bucket 8 > 4, so the
+    spec bucket narrows the tree from 2 chunks to 1)."""
+    pat = np.zeros((2048 + 5, 8), np.uint8)
+    pat[:, 7] = (np.arange(pat.shape[0]) % 16 + 1).astype(np.uint8)
+    data = pat.reshape(-1)[: 16 * 1024 + 37]
+    enc = api.encode(data, CodecConfig())
+    assert 4 < enc.codebook.max_len <= 8
+    assert mosaic_on_cpu["encode"] == [128]   # no patch re-encode
+    _check_vs_golden(data, enc)
+
+
+def test_spec_tree_patch(mosaic_on_cpu, rng):
+    """A block with one hot 8-byte window (rare symbols, > 32 bits) but a
+    small total is flagged by the spec tree and patched by the safe tree;
+    the result is bit-exact."""
+    head = (rng.geometric(0.5, size=4 * 1024) % 8).astype(np.uint8)
+    blk = (rng.geometric(0.5, size=1024) % 8).astype(np.uint8)
+    blk[512:520] = np.arange(100, 108, dtype=np.uint8)   # 8 rare bytes
+    tail = (rng.geometric(0.5, size=2 * 1024 + 11) % 8).astype(np.uint8)
+    data = np.concatenate([head, blk, tail])
+    cfg = CodecConfig(narrow_tol=0)      # keep the wide (mcl-16) book
+    cb = api.build_codebook(data, cfg, use_device=False)
+    assert cb.max_len > 8                # rare bytes got long codes
+    enc = api.encode(data, cfg, codebook=cb)
+    # spec pass at 128 plus the patch re-encode (also at 128, safe tree)
+    assert mosaic_on_cpu["encode"] == [128, 128]
+    assert mosaic_on_cpu["pack"] == [128]
+    assert int(np.max(enc.block_bits)) <= 128 * 32
+    _check_vs_golden(data, enc)
+
+
 def test_spec_retry(mosaic_on_cpu, rng):
     # mostly-skewed stream with one solid block of the rarest symbols:
     # global expectation clears the speculative gate, but that block's
