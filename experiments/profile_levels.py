@@ -31,7 +31,7 @@ def main():
     from huffman_tpu.codebook import Codebook
     from huffman_tpu.config import CodecConfig
     from huffman_tpu.ops.pallas.encode import (
-        encode_tree_chunks, pack_table, BLOCK_BYTES, _U32)
+        bytes_to_words, encode_tree_chunks, pack_table, BLOCK_BYTES, _U32)
 
     mb = int(os.environ.get("HUFF_BENCH_MB", 64))
     mcl = int(os.environ.get("HUFF_MCL", 16))   # kernel tree bound
@@ -51,10 +51,9 @@ def main():
     grid = nb // t
 
     def make_stopped(stop_level):
-        def kern(table_ref, valid_ref, sym_ref, out_ref):
-            sym_chunks = [sym_ref[:, c * 128:(c + 1) * 128].astype(jnp.int32)
-                          for c in range(8)]
-            vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
+        def kern(table_ref, valid_ref, words_ref, out_ref):
+            word_chunks = [words_ref[:, :128], words_ref[:, 128:256]]
+            vals, lens = encode_tree_chunks(word_chunks, table_ref[:],
                                             valid_ref[:, 0:1],
                                             stop_level=stop_level,
                                             max_code_len=mcl)
@@ -74,14 +73,14 @@ def main():
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((t, 128), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((t, BLOCK_BYTES), lambda i: (i, 0),
+                    pl.BlockSpec((t, BLOCK_BYTES // 4), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec((t, 128), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((nb, 128), _U32),
                 interpret=False,
-            )(table, valid_col, syms)
+            )(table, valid_col, bytes_to_words(syms))
         return run
 
     valid_col = jnp.broadcast_to(dv.astype(jnp.int32)[:, None], (nb, 128))
@@ -112,7 +111,8 @@ def main():
 
     prev = None
     import os as _os
-    for sl in [int(x) for x in _os.environ.get("HUFF_LEVELS", "1,4,7,10").split(",")]:
+    # stop_level >= 3: the planar head merges through 4-byte items
+    for sl in [int(x) for x in _os.environ.get("HUFF_LEVELS", "3,5,7,10").split(",")]:
         tt = slope(sl)
         d = None if prev is None else round((tt - prev) * 1e3, 3)
         print(json.dumps({"stop_level": sl, "ms": round(tt * 1e3, 3),

@@ -88,20 +88,6 @@ def gather_chunks(val_chunks, src_chunks, lo: int, hi: int):
     return out
 
 
-def _lut_lookup_chunks(sym_chunks, table_lanes):
-    """256-entry LUT lookup per chunk: two lane-gathers + select."""
-    t = sym_chunks[0].shape[0]
-    t0 = jnp.broadcast_to(table_lanes[0:1, :], (t, 128))
-    t1 = jnp.broadcast_to(table_lanes[1:2, :], (t, 128))
-    out = []
-    for s in sym_chunks:
-        lo = s & 127
-        g0 = jnp.take_along_axis(t0, lo, axis=1)
-        g1 = jnp.take_along_axis(t1, lo, axis=1)
-        out.append(jnp.where(s < 128, g0, g1))
-    return out
-
-
 def merge_level(vals, lens, S: int, it):
     """One in-place doubling merge over chunked (T, 128) arrays.
 
@@ -267,15 +253,21 @@ def _expand_lens(alenc, S: int, it, n_chunks: int):
     return out
 
 
-def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
+def encode_tree_chunks(word_chunks, table_lanes, valid_col,
                        stop_level: int = 10, max_code_len: int = 16,
                        capture_l2: bool = False, cap_chunks: int = 0,
-                       halve_to_chunks: int = 0):
-    """Chunkwise encode of T blocks -> (4 chunks of (T,128) u32, lens).
+                       halve_to_chunks: int = 0, no_halve: bool = False):
+    """Chunkwise encode of T blocks -> (chunks of (T,128) u32, lens).
 
-    sym_chunks: 8 chunks of (T, 128) int32 byte symbols (1024 bytes/block,
-    bytes along lanes).  table_lanes: (>=2, 128) int32 packed code*32+len.
-    valid_col: (T, 1) int32 count of real bytes per block.
+    word_chunks: 2 chunks of (T, 128) uint32 — the block's 1024 bytes as
+    256 little-endian words (byte 4j+k = bits [8k, 8k+8) of word j).
+    The PLANAR HEAD extracts the four byte planes of each word with
+    shifts and merges them elementwise: byte pairs (plane0|plane1,
+    plane2|plane3) and then the 4-byte item land at lane j = word j with
+    NO deinterleave gathers — the lane-adjacent pairing that forced
+    even/odd gathers in the byte-per-lane layout becomes plane-adjacent
+    (same lane, different plane).  table_lanes: (>=2, 128) int32 packed
+    code*32+len.  valid_col: (T, 1) int32 count of real bytes per block.
     stop_level: stop the merge tree early — at level k the row holds
     2^(10-k) items of 2^k bytes each (the wide format's substream encoder
     stops at 8: four 256-byte substreams per row).  At the default 10 the
@@ -307,40 +299,73 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     (vals, lens, viol) with viol a (T, 128) bool mask (any-lane-true per
     row == block needs the safe re-encode).
     """
-    t = sym_chunks[0].shape[0]
+    t = word_chunks[0].shape[0]
     it = _iota128(t)
-
-    # L0: LUT lookup -> per-byte (len, left-aligned code) as 8 chunks.
-    t0 = jnp.broadcast_to(table_lanes[0:1, :], (t, 128))
-    t1 = jnp.broadcast_to(table_lanes[1:2, :], (t, 128))
-    length8, val8 = [], []
-    for c, s in enumerate(sym_chunks):
-        lo = s & 127
-        g0 = jnp.take_along_axis(t0, lo, axis=1)
-        g1 = jnp.take_along_axis(t1, lo, axis=1)
-        p = jnp.where(s < 128, g0, g1)
-        ln = jnp.where(it + 128 * c < valid_col, p & 31, 0)
-        v = _shl_u((p >> 5).astype(_U32), (32 - ln) & 31)
-        val8.append(jnp.where(ln == 0, _U32(0), v))
-        length8.append(ln)
-
-    # L0 -> L1: byte pairs -> 512 items of <= 32 bits, 4 chunks; the
-    # deinterleave is two static gathers per quantity per dest chunk.
-    a_v = _even_odd(val8, 0, NCHUNK, it)
-    b_v = _even_odd(val8, 1, NCHUNK, it)
-    a_l = _even_odd(length8, 0, NCHUNK, it)
-    b_l = _even_odd(length8, 1, NCHUNK, it)
-    vals = [av | _shr_u(bv, al) for av, bv, al in zip(a_v, b_v, a_l)]
-    alenc = [al + bl for al, bl in zip(a_l, b_l)]  # compact: item i at lane i
-
-    n_items = LANES
-    item_bytes = 2
-    S = 1
-    n_stop = 1 << (10 - stop_level)
-    l2 = None
-    viol = None
     if capture_l2 and halve_to_chunks:
         raise ValueError("capture_l2 and halve_to_chunks are exclusive")
+    if stop_level < 3:
+        raise ValueError("stop_level must be >= 3 (planar head merges "
+                         "through 4-byte items)")
+
+    # ---- planar head: L0 LUT + L1/L2 merges, all at word-lane layout.
+    t0 = jnp.broadcast_to(table_lanes[0:1, :], (t, 128))
+    t1 = jnp.broadcast_to(table_lanes[1:2, :], (t, 128))
+    vA, vB, lA, lB = [], [], [], []
+    for c, w in enumerate(word_chunks):
+        w = w.astype(_U32)
+        v4, l4 = [], []
+        for k in range(4):
+            s = ((w >> _U32(8 * k)) & _U32(255)).astype(jnp.int32)
+            lo = s & 127
+            g0 = jnp.take_along_axis(t0, lo, axis=1)
+            g1 = jnp.take_along_axis(t1, lo, axis=1)
+            p = jnp.where(s < 128, g0, g1)
+            bpos = 4 * (it + 128 * c) + k          # static byte index
+            ln = jnp.where(bpos < valid_col, p & 31, 0)
+            v = _shl_u((p >> 5).astype(_U32), (32 - ln) & 31)
+            v4.append(jnp.where(ln == 0, _U32(0), v))
+            l4.append(ln)
+        # L1: byte pairs (4j, 4j+1) and (4j+2, 4j+3) — elementwise
+        # (codes <= 16 bits, so the pair fits one word exactly)
+        vA.append(v4[0] | _shr_u(v4[1], l4[0]))
+        lA.append(l4[0] + l4[1])
+        vB.append(v4[2] | _shr_u(v4[3], l4[2]))
+        lB.append(l4[2] + l4[3])
+
+    viol = None
+    n_stop = 1 << (10 - stop_level)
+    # L2: the two pairs of word j merge to the 4-byte item at lane j.
+    halve_l2 = (not no_halve) and (4 * max_code_len <= 32
+                                   or 0 < halve_to_chunks <= 2)
+    if halve_l2:
+        # single-word item (2 chunks): speculative when 4*mcl > 32 —
+        # merged length > 32 means the OR dropped bits (flagged exactly)
+        spec2 = 4 * max_code_len > 32
+        shr2 = _safe_shr if spec2 else _shr_u
+        vals = [a | shr2(b, la) for a, b, la in zip(vA, vB, lA)]
+        alenc = [la + lb for la, lb in zip(lA, lB)]
+        if spec2:
+            for ln in alenc:
+                v = ln > 32
+                viol = v if viol is None else (viol | v)
+        S = 1
+    else:
+        # two-word planar item, then one static transpose to the span
+        # layout merge_level_v2 expects (item j at lanes 2j, 2j+1)
+        w0 = [a | _safe_shr(b, la) for a, b, la in zip(vA, vB, lA)]
+        w1 = [_safe_shl(b, 32 - la) for b, la in zip(vB, lA)]
+        alenc = [la + lb for la, lb in zip(lA, lB)]
+        vals = []
+        for d in range(NCHUNK):
+            cc = d >> 1
+            src = (64 * (d & 1)) + (it >> 1)       # static
+            g0 = jnp.take_along_axis(w0[cc], src, axis=1)
+            g1 = jnp.take_along_axis(w1[cc], src, axis=1)
+            vals.append(jnp.where((it & 1) == 0, g0, g1))
+        S = 2
+    n_items = 256
+    item_bytes = 4
+    l2 = list(alenc) if capture_l2 else None
     # compacting merges: a merged pair still fits one word, so halve the
     # lane count (deinterleave + single-word OR) instead of spreading.
     # Statically safe while 2*item_bytes*max_code_len <= 32; beyond that,
@@ -366,8 +391,6 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
                 viol = v if viol is None else (viol | v)
         n_items //= 2
         item_bytes *= 2
-        if item_bytes == 4:
-            l2 = list(alenc)
     # standard doubling merges
     while n_items > n_stop:
         oc = (min(cap_chunks, len(vals))
@@ -378,8 +401,6 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
         n_items //= 2
         item_bytes *= 2
         S *= 2
-        if item_bytes == 4:
-            l2 = list(alenc)
 
     lens = _expand_lens(alenc, max(S, 1), it, len(vals))
     if capture_l2:
@@ -391,28 +412,40 @@ def encode_tree_chunks(sym_chunks, table_lanes, valid_col,
     return vals, lens
 
 
+def bytes_to_words(byte_blocks):
+    """(NB, 1024) uint8 -> (NB, 256) uint32 little-endian words.
+
+    The packing the planar head expects: byte 4j+k at bits [8k, 8k+8)
+    of word j.  Pure shifts/ORs so it works identically on every
+    backend (a bitcast would hinge on layout assumptions)."""
+    nb = byte_blocks.shape[0]
+    s = byte_blocks.astype(jnp.uint32).reshape(nb, BLOCK_BYTES // 4, 4)
+    return (s[:, :, 0] | (s[:, :, 1] << 8) | (s[:, :, 2] << 16)
+            | (s[:, :, 3] << 24))
+
+
 def encode_tree_body(sym, table_lanes, valid_col):
     """Array-level wrapper over encode_tree_chunks (CPU tests use this).
 
     sym: (T, 1024) int32; returns ((T, 512) u32, (T,) i32).
     """
-    sym_chunks = [sym[:, c * 128:(c + 1) * 128] for c in range(8)]
-    vals, lens = encode_tree_chunks(sym_chunks, table_lanes, valid_col)
+    words = bytes_to_words(sym.astype(jnp.uint8))
+    word_chunks = [words[:, :128], words[:, 128:]]
+    vals, lens = encode_tree_chunks(word_chunks, table_lanes, valid_col)
     return jnp.concatenate(vals, axis=1), lens[0][:, 0]
 
 
-def _encode_kernel(table_ref, valid_ref, sym_ref, out_ref, bits_ref,
+def _encode_kernel(table_ref, valid_ref, words_ref, out_ref, bits_ref,
                    *, cap_words: int, max_code_len: int,
                    halve_to: int = 0):
-    sym_chunks = [sym_ref[:, c * 128:(c + 1) * 128].astype(jnp.int32)
-                  for c in range(8)]
+    word_chunks = [words_ref[:, :128], words_ref[:, 128:256]]
     if halve_to:
         vals, lens, viol = encode_tree_chunks(
-            sym_chunks, table_ref[:], valid_ref[:, 0:1],
+            word_chunks, table_ref[:], valid_ref[:, 0:1],
             max_code_len=max_code_len, cap_chunks=-(-cap_words // 128),
             halve_to_chunks=halve_to)
     else:
-        vals, lens = encode_tree_chunks(sym_chunks, table_ref[:],
+        vals, lens = encode_tree_chunks(word_chunks, table_ref[:],
                                         valid_ref[:, 0:1],
                                         max_code_len=max_code_len,
                                         cap_chunks=-(-cap_words // 128))
@@ -473,6 +506,7 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
     if pad:
         byte_blocks = jnp.pad(byte_blocks, ((0, pad), (0, 0)))
         valid_bytes = jnp.pad(valid_bytes, (0, pad))
+    words = bytes_to_words(byte_blocks)
     table = pack_table(codes, lengths)
     valid_col = jnp.broadcast_to(
         valid_bytes.astype(jnp.int32)[:, None], (grid * t, 128))
@@ -487,7 +521,7 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, BLOCK_BYTES), lambda i: (i, 0),
+            pl.BlockSpec((t, BLOCK_BYTES // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -501,5 +535,5 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
             jax.ShapeDtypeStruct((grid * t, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(table, valid_col, byte_blocks)
+    )(table, valid_col, words)
     return out[:nb], bits[:nb, 0]

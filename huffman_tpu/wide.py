@@ -119,8 +119,8 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
     P0/P1: (NT*PLANE_ROWS, 128) u32 plane rows (live words per tile =
     bases[t,-1] + cnts[t,-1]); bases/cnts (NT, ROUNDS) i32.
     """
-    from .ops.pallas.encode import (BLOCK_BYTES, encode_tree_chunks,
-                                    pack_table)
+    from .ops.pallas.encode import (BLOCK_BYTES, bytes_to_words,
+                                    encode_tree_chunks, pack_table)
     from .ops.pallas import wide as wk
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -134,12 +134,14 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
     valid_col = jnp.broadcast_to(valid.astype(jnp.int32)[:, None],
                                  (nb, 128))
 
-    def _kern(table_ref, valid_ref, sym_ref, out_ref, l2_ref):
-        sym_chunks = [sym_ref[:, c * 128:(c + 1) * 128].astype(jnp.int32)
-                      for c in range(8)]
+    def _kern(table_ref, valid_ref, words_ref, out_ref, l2_ref):
+        word_chunks = [words_ref[:, :128], words_ref[:, 128:256]]
+        # no_halve: the substream layout downstream (streams_wm below)
+        # requires the 4-chunk span layout at stop_level 8 even for
+        # narrow (mcl <= 8) books that the dense tree would compact
         vals, _lens, l2 = encode_tree_chunks(
-            sym_chunks, table_ref[:], valid_ref[:, 0:1], stop_level=8,
-            capture_l2=True)
+            word_chunks, table_ref[:], valid_ref[:, 0:1], stop_level=8,
+            capture_l2=True, no_halve=True)
         out_ref[:] = jnp.concatenate(vals, axis=1)
         l2_ref[:] = jnp.concatenate(l2, axis=1)
 
@@ -151,7 +153,7 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, BLOCK_BYTES), lambda i: (i, 0),
+            pl.BlockSpec((t, BLOCK_BYTES // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -165,7 +167,7 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
             jax.ShapeDtypeStruct((nb, 256), jnp.int32),
         ),
         interpret=interpret,
-    )(table, valid_col, blocks)
+    )(table, valid_col, bytes_to_words(blocks))
 
     # substream streams word-major per tile: word w of tile substream
     # k = 128s + l at [8t + s, 128w + l]
