@@ -118,20 +118,23 @@ def main() -> None:
     data_ex = np.asarray(db[: ex_mb * 1024]).reshape(-1)
 
     def slope_time(make_fn, label: str = "?"):
-        """make_fn(k) -> callable returning a scalar-able array; slope s.
+        """make_fn() -> (fn, args); fn(k, *args) returns a scalar-able array.
 
         k arrives as a TRACED value (jnp scalar): every stage compiles its
         chain exactly once — at 1 GiB the Mosaic kernels embedded in each
         chain take minutes to compile cold, so a second executable per
         stage (k=1 vs k=1+reps as static scan lengths) doubles the cold
-        wall for nothing.
+        wall for nothing.  Device arrays MUST ride in args, not closures:
+        a closed-over array is lowered as an HLO constant, and at 1 GiB
+        the serialized program blows past the remote-compile tunnel's
+        request limit (HTTP 413).
         """
         def run(k):
             t0 = time.perf_counter()
-            out = f(jnp.int32(k))
+            out = f(jnp.int32(k), *args)
             _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
             return time.perf_counter() - t0
-        f = make_fn()
+        f, args = make_fn()
         progress(f"compile+warm {label}")
         run(1); run(1 + reps)
         t1 = min(run(1) for _ in range(2))
@@ -141,8 +144,12 @@ def main() -> None:
 
     # ---------------- dense encode (headline) -------------------------
     if use_pallas:
-        from huffman_tpu.ops.pallas.encode import encode_blocks_pallas
+        from huffman_tpu.ops.pallas.encode import (bytes_to_words,
+                                                   encode_blocks_pallas)
         from huffman_tpu.ops.pallas.pack2 import _pack_prepared, plan_pack
+        # the kernel's word input (hosts get this as a free numpy view;
+        # here the data already lives on device) — one-time repack
+        dbw = jax.block_until_ready(jax.jit(bytes_to_words)(db))
         kmcl = api._kernel_mcl(cb)
         # the product path's capacity + tree-width choice (speculative
         # bucket and speculative narrow tree first; api.encode patches
@@ -163,20 +170,20 @@ def main() -> None:
         # dependence (symbol 255 is absent from make_data streams).
         def mk_encode():
             @jax.jit
-            def fn(k):
+            def fn(k, a_db, a_dv):
                 def body(_, carry):
                     dcc = dc.at[255].set(carry)
                     out, bits = encode_blocks_pallas(
-                        db, dcc, dl, dv, cap, max_code_len=kmcl,
+                        a_db, dcc, dl, a_dv, cap, max_code_len=kmcl,
                         halve_to_chunks=halve_to)
                     return out[0, 0] ^ bits[0].astype(jnp.uint32)
                 return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-            return fn
+            return fn, (dbw, dv)
         t_enc = slope_time(mk_encode, "encode")
 
         progress("one-shot encode for pack staging")
         streams, bits_dev = jax.block_until_ready(encode_blocks_pallas(
-            db, dc, dl, dv, cap, max_code_len=kmcl,
+            dbw, dc, dl, dv, cap, max_code_len=kmcl,
             halve_to_chunks=halve_to))
         from huffman_tpu.ops.pallas.encode import BITS_MASK
         bits_raw = np.asarray(bits_dev)
@@ -190,14 +197,14 @@ def main() -> None:
             # chain through bits[0] (bounded to keep the plan's coverage):
             # a (NB,) copy per iteration instead of the (NB, cap) streams
             @jax.jit
-            def fn(k):
+            def fn(k, a_streams, a_bits):
                 def body(_, carry):
-                    b = d_bits.at[0].set(carry)
-                    o = _pack_prepared(d_streams, b, n_tiles, k_max, cap)
+                    b = a_bits.at[0].set(carry)
+                    o = _pack_prepared(a_streams, b, n_tiles, k_max, cap)
                     return ((o[0, 0] ^ o[0, 1])
                             % jnp.uint32(2048)).astype(jnp.int32)
                 return jax.lax.fori_loop(0, k, body, jnp.int32(32))
-            return fn
+            return fn, (d_streams, d_bits)
         t_pack = slope_time(mk_pack, "pack")
         per_iter = t_enc + t_pack
         extra["encode_kernel_gbps"] = round(n / t_enc / 1e9, 2)
@@ -212,14 +219,14 @@ def main() -> None:
 
             def mk_encode8():
                 @jax.jit
-                def fn(k):
+                def fn(k, a_db, a_dv):
                     def body(_, carry):
                         dcc = dc8.at[255].set(carry)
                         out, bits = encode_blocks_pallas(
-                            db, dcc, dl8, dv, 256, max_code_len=8)
+                            a_db, dcc, dl8, a_dv, 256, max_code_len=8)
                         return out[0, 0] ^ bits[0].astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-                return fn
+                return fn, (dbw, dv)
             try:
                 t8 = slope_time(mk_encode8, "encode_mcl8")
                 extra["encode_kernel_mcl8_gbps"] = round(n / t8 / 1e9, 2)
@@ -230,14 +237,14 @@ def main() -> None:
     else:
         def mk_pipe():
             @jax.jit
-            def fn(k):
+            def fn(k, a_db, a_dv):
                 def body(_, carry):
-                    bb = db.at[0, 0].set(carry)
+                    bb = a_db.at[0, 0].set(carry)
                     stream, bits, _o = api.encode_pipeline(
-                        bb, dc, dl, dv, cfg.capacity_words)
+                        bb, dc, dl, a_dv, cfg.capacity_words)
                     return (stream[0] ^ bits[0]).astype(jnp.uint8)
                 return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
-            return fn
+            return fn, (db, dv)
         per_iter = slope_time(mk_pipe, "xla_pipeline")
     gbps = n / per_iter / 1e9
 
@@ -271,13 +278,13 @@ def main() -> None:
 
         def mk_hist():
             @jax.jit
-            def fn(k):
+            def fn(k, a_db):
                 def body(_, carry):
                     nv = n_real - (carry % 2)    # +-1 byte; no input copy
-                    h = hist_ops.histogram_onehot(db, n_valid=nv)
+                    h = hist_ops.histogram_onehot(a_db, n_valid=nv)
                     return (h[0] ^ h[1]).astype(jnp.int32)
                 return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-            return fn
+            return fn, (db,)
         try:
             t_h = slope_time(mk_hist, "hist")
             extra["hist_gbps"] = round(n / t_h / 1e9, 2)
@@ -302,14 +309,14 @@ def main() -> None:
 
             def mk_wide_enc():
                 @jax.jit
-                def fn(k):
+                def fn(k, a_db, a_dv):
                     def body(_, carry):
                         dcc = dc.at[255].set(carry)
                         p0, _p1, bases, _c = _encode_device(
-                            db, dcc, dl, dv, jnp.int32(mcl))
+                            a_db, dcc, dl, a_dv, jnp.int32(mcl))
                         return p0[0, 0] ^ bases[0, 0].astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-                return fn
+                return fn, (db, dv)
             t_we = slope_time(mk_wide_enc, "wide_encode")
             extra["wide_encode_dev_gbps"] = round(n / t_we / 1e9, 3)
 
@@ -323,14 +330,14 @@ def main() -> None:
 
             def mk_wide_dec():
                 @jax.jit
-                def fn(k):
+                def fn(k, a_pl):
                     def body(_, carry):
-                        p = d_pl.at[0, 0].set(carry)
+                        p = a_pl.at[0, 0].set(carry)
                         o = decode_wide_pallas(
                             p, *dd, mcl=mcl, two_row_perm=perm.size > 128)
                         return (o[0, 0] ^ o[0, 1]).astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-                return fn
+                return fn, (d_pl,)
             t_wd = slope_time(mk_wide_dec, "wide_decode")
             extra["wide_decode_dev_gbps"] = round(
                 len(sub) / t_wd / 1e9, 3)
@@ -369,13 +376,13 @@ def main() -> None:
 
             def mk_p1():
                 @jax.jit
-                def fn(k):
+                def fn(k, a_b, a_v):
                     def body(_, carry):
                         dcc = dc.at[255].set(carry)
-                        s, b, _w2, _sh2, _h2 = p1(d_b, d_v, dcc, dl)
+                        s, b, _w2, _sh2, _h2 = p1(a_b, a_v, dcc, dl)
                         return s[0, 0] ^ b[0].astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-                return fn
+                return fn, (d_b, d_v)
             t_sh = slope_time(mk_p1, "sharded_encode")
             extra["sharded_encode_kernel_gbps"] = round(n / t_sh / 1e9, 2)
         except Exception as e:  # pragma: no cover

@@ -65,6 +65,22 @@ class Encoded:
         return (self.total_bits / 8) / max(self.n_bytes, 1)
 
 
+def _host_words(byte_blocks: np.ndarray) -> np.ndarray:
+    """(NB, 1024) uint8 host blocks -> (NB, 256) uint32 LE words, for free.
+
+    The Mosaic encode kernel consumes 32-bit words (byte 4j+k at bits
+    [8k, 8k+8) of word j — ops/pallas/encode.bytes_to_words).  On a
+    little-endian host that is exactly the memory layout of the bytes, so
+    a numpy view replaces a full read+write repack pass on device."""
+    import sys
+    arr = np.ascontiguousarray(byte_blocks)
+    if sys.byteorder == "little":
+        return arr.view(np.uint32)
+    s = arr.astype(np.uint32).reshape(arr.shape[0], -1, 4)
+    return s[:, :, 0] | (s[:, :, 1] << 8) | (s[:, :, 2] << 16) \
+        | (s[:, :, 3] << 24)
+
+
 def _as_blocks(data, cfg: CodecConfig) -> tuple[np.ndarray, int]:
     arr = (np.frombuffer(data, dtype=np.uint8)
            if isinstance(data, (bytes, bytearray))
@@ -235,7 +251,7 @@ def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
                               np.uint8)])
             hv = np.concatenate(
                 [hv, np.zeros(CHUNK_BLOCKS - hv.shape[0], np.int32)])
-        db = jnp.asarray(hb)          # async H2D, overlaps prior kernel
+        db = jnp.asarray(_host_words(hb))  # async H2D, overlaps prior kernel
         dv = jnp.asarray(hv)
         parts.append(encode_blocks_pallas(
             db, dc, dl, dv, cap, max_code_len=max_code_len,
@@ -275,7 +291,7 @@ def _patch_flagged(streams, blocks, valid, cb: Codebook, cap: int,
         [flagged, np.repeat(flagged[:1], nfix - flagged.size)]
     ).astype(np.int32)
     fixed, _ = encode_blocks_pallas(
-        jnp.asarray(blocks[idxp]), jnp.asarray(cb.codes),
+        jnp.asarray(_host_words(blocks[idxp])), jnp.asarray(cb.codes),
         jnp.asarray(cb.lengths), jnp.asarray(valid[idxp]), cap,
         max_code_len=kmcl)
     return _overlay_rows(streams, fixed, jnp.asarray(idxp))
@@ -373,7 +389,8 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
             else:
                 nb0 = blocks.shape[0]
                 nbb = _bucket_blocks(nb0)
-                bb, vv = jnp.asarray(blocks), jnp.asarray(valid)
+                bb = jnp.asarray(_host_words(blocks))
+                vv = jnp.asarray(valid)
                 if nbb != nb0:
                     bb = jnp.pad(bb, ((0, nbb - nb0), (0, 0)))
                     vv = jnp.pad(vv, (0, nbb - nb0))

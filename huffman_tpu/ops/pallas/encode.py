@@ -488,7 +488,11 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          halve_to_chunks: int = 0):
     """Drop-in twin of ops.encode.encode_blocks on the Pallas path.
 
-    byte_blocks: (NB, 1024) uint8 (block_bytes must be 1024 on this path).
+    byte_blocks: (NB, 1024) uint8, OR pre-packed (NB, 256) uint32
+    little-endian words (byte 4j+k at bits [8k, 8k+8) of word j) — hosts
+    hand the kernel a free numpy `.view(uint32)` of the block bytes
+    instead of paying a full read+write device pass for the repack
+    (block_bytes must be 1024 on this path either way).
     Returns (packed (NB, capacity_words) u32, block_bits (NB,) i32).
     With halve_to_chunks > 0 the merge tree runs speculatively narrow
     (see encode_tree_chunks): block_bits stays exact, and bit 30 of each
@@ -496,20 +500,24 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
     with the safe tree (mask with BITS_MASK for the count).
     """
     nb, bb = byte_blocks.shape
-    if bb != BLOCK_BYTES:
-        raise ValueError("pallas encoder requires 1024-byte blocks")
+    if byte_blocks.dtype == jnp.uint32:
+        if bb != BLOCK_BYTES // 4:
+            raise ValueError("word input must be (NB, 256) uint32")
+        words = byte_blocks
+    else:
+        if bb != BLOCK_BYTES:
+            raise ValueError("pallas encoder requires 1024-byte blocks")
+        words = bytes_to_words(byte_blocks)
     if capacity_words > LANES:
         raise ValueError("capacity exceeds 512 words/block")
     t = block_tile
     grid = pl.cdiv(nb, t)
     pad = grid * t - nb
     if pad:
-        byte_blocks = jnp.pad(byte_blocks, ((0, pad), (0, 0)))
+        words = jnp.pad(words, ((0, pad), (0, 0)))
         valid_bytes = jnp.pad(valid_bytes, (0, pad))
-    words = bytes_to_words(byte_blocks)
     table = pack_table(codes, lengths)
-    valid_col = jnp.broadcast_to(
-        valid_bytes.astype(jnp.int32)[:, None], (grid * t, 128))
+    valid_col = valid_bytes.astype(jnp.int32)[:, None]
 
     out, bits = pl.pallas_call(
         functools.partial(_encode_kernel, cap_words=capacity_words,
@@ -519,7 +527,7 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
         in_specs=[
             pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 128), lambda i: (i, 0),
+            pl.BlockSpec((t, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, BLOCK_BYTES // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -527,12 +535,12 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
         out_specs=(
             pl.BlockSpec((t, capacity_words), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 128), lambda i: (i, 0),
+            pl.BlockSpec((t, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((grid * t, capacity_words), _U32),
-            jax.ShapeDtypeStruct((grid * t, 128), jnp.int32),
+            jax.ShapeDtypeStruct((grid * t, 1), jnp.int32),
         ),
         interpret=interpret,
     )(table, valid_col, words)
