@@ -11,14 +11,20 @@ tile-assembly kernel (the v1 align ran 8192 dependent grid steps at 64 MiB
     (blocks are laid out in order), found with one searchsorted over the
     scanned word offsets;
   * each grid step assembles one tile independently: DMA the contiguous
-    window of covering block streams, then OR together K bit-shifted,
-    word-rotated segments.  The seam words the reference resolves with
-    atomicOr (pack_kernels.cu:34-51) are plain ORs of masked contributions;
+    window of covering block streams, then OR together K word-rotated
+    segments.  The seam words the reference resolves with atomicOr
+    (pack_kernels.cu:34-51) are plain ORs of masked contributions;
     no carry crosses grid steps, so the grid pipelines at full depth.
 
-Per-segment metadata (start word, bit shift, live words) is read from a
-meta array through scalar-prefetch-driven BlockSpecs and reduced to
-scalars in-kernel — no XLA gather (~0.1 GB/s on TPU) anywhere.
+The BIT phase is not the kernel's problem: preshift_streams (one XLA
+elementwise pass, HBM-bound) shifts every block stream to its final
+global bit position first and absorbs each block's spilled tail word
+into the next block's word 0.  The kernel then only word-rotates and
+masks — per-segment work drops ~2x against shifting in-kernel.
+
+Per-segment metadata (start word, live words) is read from a meta array
+through scalar-prefetch-driven BlockSpecs and reduced to scalars
+in-kernel — no XLA gather (~0.1 GB/s on TPU) anywhere.
 """
 
 from __future__ import annotations
@@ -119,7 +125,6 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
     row_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
     flat = row_i * 128 + lane
-    srows = stride + 1 if stride < TILE_ROWS else TILE_ROWS
 
     # Straight-line accumulation: every segment's contribution is computed
     # unconditionally and masked arithmetically — scalar-predicated pl.when
@@ -127,13 +132,14 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
     # VPU pipeline across segments.  The TB subtile loops are fully
     # independent; the Python loop interleaves their segment chains.
     #
-    # The bit-shift runs on the block's STRIP (stride rows + a spill row),
-    # not the 8-row tile: a cap-256 block touches <= 257 of the tile's 1024
-    # words, so shifting at tile width wastes ~4x of the per-segment vector
-    # work.  The strip is placed into the tile by the same mod-1024 flat
-    # rotation, with the row gather reading from the short strip and the
-    # rows beyond it masked (they read the zero extension in the old
-    # scheme; an arithmetic mask here).
+    # Streams arrive PRESHIFTED (preshift_streams): already at their final
+    # bit phase, spill absorbed forward — each segment is a pure placement:
+    # flat-rotate the strip right by dw mod 1024 over the (8,128) row-major
+    # layout (lane gather + one row gather that folds in the lane-borrow),
+    # then mask the live range [dw, dw+nw) with a single unsigned compare.
+    # Mosaic's gather wants indices shaped like the operand, so the lane
+    # rotation runs at strip width and the row gather reads the
+    # zero-extended (8, 128) ring — rows past the strip are zeros.
     for j in range(TB):
         win_copy(g, slot, j).wait()
     for j in range(TB):
@@ -144,51 +150,22 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
         acc = jnp.zeros((TILE_ROWS, 128), _U32)
         for k in range(k_max):
             wb = mw_ref[p0 + k]                        # block start word
-            ax = mx_ref[p0 + k]                        # bits<<5 | shift
-            sh = ax & 31
-            bits = ax >> 5
-            nw = jnp.where(bits == 0, 0, (sh + bits + 31) >> 5)
+            nw = mx_ref[p0 + k]                        # live words
             dw = wb - tile_w0       # in [-(cap + align_b*cap), 1024)
 
             strip = win[k * stride:(k + 1) * stride]   # (stride, 128)
-
-            # bit-shift right by sh (MSB-first stream): word j gets
-            # (s[j] >> sh) | (s[j-1] << (32-sh)); the double-shift
-            # (pv << (31-sh)) << 1 is well-defined for every sh in [0,32)
-            # and yields 0 at sh == 0 — no select needed.
-            pv = jnp.roll(strip, 1, axis=1)
-            prow = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 0)
-            plan = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 1)
-            if stride > 1:
-                pv = jnp.where(plan == 0, jnp.roll(pv, 1, axis=0), pv)
-            pv = jnp.where((plan == 0) & (prow == 0), _U32(0), pv)
-            xs = _shr_u(strip, sh) | _shl_u(_shl_u(pv, 31 - sh),
-                                            jnp.int32(1))
-            if srows > stride:
-                # spill row: word stride*128 (the shifted-out tail of the
-                # strip's last word) at lane 0; other lanes are past nw.
-                lst = jnp.roll(strip[stride - 1:stride], 1, axis=1)
-                spill = jnp.where(
-                    jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0,
-                    _shl_u(_shl_u(lst, 31 - sh), jnp.int32(1)), _U32(0))
-                xs = jnp.concatenate([xs, spill], axis=0)  # (srows, 128)
-
-            # place at word offset dw within the tile: flat-rotate right
-            # by dw mod 1024 over the (8,128) row-major layout (lane
-            # gather + one row gather that folds in the lane-borrow),
-            # then mask the live range [dw, dw+nw) with a single unsigned
-            # compare (live implies the source row is inside the strip:
-            # nw <= srows*128).  Mosaic's gather wants indices shaped
-            # like the operand, so the lane rotation runs at strip width
-            # and the row gather reads the zero-extended (8, 128) ring —
-            # rows past the strip are zeros.
             rot = (dw + 8192) & (TILE_WORDS - 1)
             rl = rot & 127
             rr = rot >> 7
-            a = jnp.take_along_axis(xs, (lane[:srows] - rl) & 127, axis=1)
-            if srows < TILE_ROWS:
+            gs = max(stride, 2)     # Mosaic's lane gather rejects 1-row ops
+            if gs > stride:
+                strip = jnp.concatenate(
+                    [strip, jnp.zeros((gs - stride, 128), _U32)], axis=0)
+            a = jnp.take_along_axis(strip, (lane[:gs] - rl) & 127,
+                                    axis=1)
+            if gs < TILE_ROWS:
                 a = jnp.concatenate(
-                    [a, jnp.zeros((TILE_ROWS - srows, 128), _U32)],
+                    [a, jnp.zeros((TILE_ROWS - gs, 128), _U32)],
                     axis=0)
             rows_idx = (row_i - rr - (lane < rl) + 2 * TILE_ROWS) \
                 & (TILE_ROWS - 1)
@@ -198,19 +175,57 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
         out_ref[j * TILE_ROWS:(j + 1) * TILE_ROWS] = acc
 
 
+def preshift_streams(block_streams: jax.Array, bit_shift: jax.Array,
+                     block_bits: jax.Array):
+    """Shift every block stream to its final global bit phase (one XLA
+    elementwise pass, HBM-bound).
+
+    block_streams: (NB, cap) u32 left-aligned streams; bit_shift: (NB,)
+    i32 in [0, 32) (ops.scan.exclusive_bit_offsets); block_bits: (NB,)
+    i32.  Returns (shifted (NB+1, cap) u32, nw (NB+1,) i32): row b holds
+    block b's stream >> bit_shift[b] with the previous block's spilled
+    tail word OR'd into its word 0 (a block whose sh+bits exceeds cap*32
+    spills exactly one word, and that word is by construction the next
+    block's start word); the appended row carries only the last row's
+    spill.  nw[b] is the live word count of row b — segments in the pack
+    kernel mask with it and never bit-shift.
+    """
+    nb, cap = block_streams.shape
+    shc = bit_shift.astype(_U32)[:, None]
+    prev = jnp.pad(block_streams, ((0, 0), (1, 0)))[:, :-1]
+    # (x << (31-sh)) << 1 is well-defined for sh in [0,32) and 0 at sh==0
+    xs = _shr_u(block_streams, shc) | _shl_u(_shl_u(prev, 31 - shc),
+                                             _U32(1))
+    spill = _shl_u(_shl_u(block_streams[:, -1:], 31 - shc), _U32(1))
+    spill_prev = jnp.concatenate([jnp.zeros((1, 1), _U32), spill])
+    xs = jnp.concatenate([xs, jnp.zeros((1, cap), _U32)])
+    xs = jnp.concatenate([xs[:, :1] | spill_prev, xs[:, 1:]], axis=1)
+    bits = block_bits.astype(jnp.int32)
+    sb = bit_shift.astype(jnp.int32) + bits
+    own = jnp.minimum((sb + 31) >> 5, cap)
+    recv = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), (sb > cap * 32).astype(jnp.int32)])
+    nw = jnp.maximum(jnp.concatenate([own, jnp.zeros(1, jnp.int32)]), recv)
+    return xs, nw
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_tiles", "k_max", "cap_words",
                                     "interpret"))
 def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
-                      aux: jax.Array, f_tile: jax.Array,
+                      nw: jax.Array, f_tile: jax.Array,
                       n_tiles: int, k_max: int, cap_words: int,
                       interpret: bool = False):
     """Assemble n_tiles dense 1024-word tiles from per-block streams.
 
-    block_streams: (NB, cap_words) u32 left-aligned per-block streams.
+    block_streams: (NB, cap_words) u32 PRESHIFTED per-block streams
+      (preshift_streams: already at their final bit phase, spill absorbed
+      into the next row).
     word_base: (NB,) i32 exclusive start word of each block (from
-      ops.scan.exclusive_bit_offsets).
-    aux: (NB,) i32 packed block_bits<<5 | bit_shift.
+      ops.scan.exclusive_bit_offsets; for preshift's appended spill row,
+      the total-words cursor — exclusive_bit_offsets of bits padded with
+      a zero gives exactly that).
+    nw: (NB,) i32 live words per row (from preshift_streams).
     f_tile: (n_tiles,) i32 first covering block per tile (host/XLA
       searchsorted, may be early — masked segments cost nothing).  The
       _stage_geometry alignment (f rounded down to a multiple of
@@ -245,7 +260,7 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
         [word_base.astype(jnp.int32),
          jnp.full(mpad, jnp.int32(2 ** 30))])
     metax = jnp.concatenate(
-        [aux.astype(jnp.int32), jnp.zeros(mpad, jnp.int32)])
+        [nw.astype(jnp.int32), jnp.zeros(mpad, jnp.int32)])
 
     wrow0 = (f_tile * stride).astype(jnp.int32)
 
@@ -308,13 +323,15 @@ def _bucket_quarter(x: int, lo: int) -> int:
 def _pack_prepared(block_streams, block_bits, n_tiles, k_max, cap_words,
                    interpret=False):
     from ..scan import exclusive_bit_offsets
-    off = exclusive_bit_offsets(block_bits.astype(jnp.int32))
-    aux = (block_bits.astype(jnp.int32) << 5) | off.bit_shift
+    bits = block_bits.astype(jnp.int32)
+    off = exclusive_bit_offsets(jnp.concatenate(
+        [bits, jnp.zeros(1, jnp.int32)]))        # +1: preshift's spill row
+    shifted, nw = preshift_streams(block_streams, off.bit_shift[:-1], bits)
     tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE_WORDS
-    f = jnp.searchsorted(off.word_base, tile_starts, side="left",
+    f = jnp.searchsorted(off.word_base[:-1], tile_starts, side="left",
                          method="sort").astype(jnp.int32)
     f = jnp.maximum(f - 1, 0)
-    out = pack_tiles_pallas(block_streams, off.word_base, aux, f,
+    out = pack_tiles_pallas(shifted, off.word_base, nw, f,
                             n_tiles, k_max, cap_words, interpret=interpret)
     return out
 
@@ -341,12 +358,14 @@ def plan_pack(block_bits_host, cap_words: int = 256) -> tuple[int, int]:
         np.searchsorted(word_base, tile_starts + TILE_WORDS, "left") - 1, 0)
     # zero-bit tail blocks (power-of-two bucket padding) share the final
     # offset and contribute nothing; without this clamp they inflate the
-    # coverage K past the corruption guard for small inputs
+    # coverage K past the corruption guard for small inputs.  +1: the last
+    # real block's spill may ride in the next (zero-bit or appended) row
+    # after preshift_streams.
     nz = np.nonzero(bits)[0]
-    last = np.minimum(last, int(nz[-1]) if nz.size else 0)
+    last = np.minimum(last, int(nz[-1]) + 1 if nz.size else 0)
     last = np.maximum(last, first)
     k_need = int((last - first).max()) + 1
-    if k_need > 48 + align_b:  # full 1 KiB blocks emit >= 1024 bits, so a
+    if k_need > 49 + align_b:  # full 1 KiB blocks emit >= 1024 bits, so a
         raise ValueError(      # 1024-word tile is covered by <= 34 blocks
             f"pack tile covered by {k_need} blocks — corrupt block_bits?")
     return n_tiles, max(-(-k_need // k_mult) * k_mult, k_mult)

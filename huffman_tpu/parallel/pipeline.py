@@ -204,14 +204,18 @@ def pack_phase2(mesh: Mesh, n_tiles: int, k_max: int, cap: int,
         word_base_loc = ex_w + (ex_r >> 5)
         bit_shift_loc = ex_r & 31
         if use_pallas:
-            from ..ops.pallas.pack2 import TILE_WORDS, pack_tiles_pallas
-            aux = (bits << 5) | bit_shift_loc
+            from ..ops.pallas.pack2 import (TILE_WORDS, pack_tiles_pallas,
+                                            preshift_streams)
+            shifted, nw = preshift_streams(streams_loc, bit_shift_loc, bits)
+            wb_ext = jnp.concatenate(           # +1: preshift's spill row
+                [word_base_loc,
+                 (cw[-1:] + ((cr[-1:] + shard_shift) >> 5))])
             tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE_WORDS
             f = jnp.searchsorted(word_base_loc, tile_starts, side="left",
                                  method="sort").astype(jnp.int32)
             f = jnp.maximum(f - 1, 0)
             stream_loc = pack_tiles_pallas(
-                streams_loc, word_base_loc, aux, f, n_tiles, k_max,
+                shifted, wb_ext, nw, f, n_tiles, k_max,
                 cap).reshape(-1)
         else:
             stream_loc = pack_ops.pack_at_offsets(
