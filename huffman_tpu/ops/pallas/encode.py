@@ -221,22 +221,30 @@ def merge_level_v2(vals, alenc, n_items: int, S: int, it, max_code_len: int,
                 braw = jnp.where(srcc == c2, g, braw)
         else:
             braw = jnp.zeros_like(vals[0])
-            for c2 in range(c_lo, c_hi + 1):
-                g = jnp.take_along_axis(
-                    vals[c2], jnp.clip(src - 128 * c2, 0, 127), axis=1)
-                braw = jnp.where(srcc == c2, g, braw)
+            if c_lo == c_hi:
+                # single possible source chunk: srcc select is dead
+                braw = jnp.take_along_axis(
+                    vals[c_lo], jnp.clip(src - 128 * c_lo, 0, 127), axis=1)
+            else:
+                for c2 in range(c_lo, c_hi + 1):
+                    g = jnp.take_along_axis(
+                        vals[c2], jnp.clip(src - 128 * c2, 0, 127), axis=1)
+                    braw = jnp.where(srcc == c2, g, braw)
         in_b = (j >= w) & ((j - S) < w)           # src inside the right item
         brm = jnp.where(in_b, braw, _U32(0))
         # bprev: value at src-1 == brm one lane earlier (contiguous src
         # within a pair span; masked zeros give the correct first-word 0)
         bp = jnp.roll(brm, 1, axis=1)
-        bp = jnp.where(it == 0, jnp.broadcast_to(carry, bp.shape), bp)
+        if n > 1 or out_chunks > 1:
+            bp = jnp.where(it == 0, jnp.broadcast_to(carry, bp.shape), bp)
+            carry = brm[:, 127:128]
         # j == 0 starts a new pair: the rolled-in value belongs to the
         # previous pair's spill word — never a valid src-1 (static mask).
+        # (At M2 >= 128 lane 0 always has j == 0, so this subsumes the
+        # cross-chunk carry select in the single-chunk tree.)
         bp = jnp.where(j == 0, _U32(0), bp)
-        carry = brm[:, 127:128]
-        bsh = _shr_u(brm, sh) | jnp.where(sh == 0, _U32(0),
-                                          _shl_u(bp, (32 - sh) & 31))
+        # (x << (31-sh)) << 1: well-defined for sh in [0,32), 0 at sh == 0
+        bsh = _shr_u(brm, sh) | _shl_u(_shl_u(bp, 31 - sh), _U32(1))
         left = jnp.where(j < S, vals[d], _U32(0))
         new_vals.append(left | bsh)
     return new_vals, new_alenc
@@ -321,9 +329,13 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
             g1 = jnp.take_along_axis(t1, lo, axis=1)
             p = jnp.where(s < 128, g0, g1)
             bpos = 4 * (it + 128 * c) + k          # static byte index
-            ln = jnp.where(bpos < valid_col, p & 31, 0)
+            # one mask does all the work: invalid bytes zero the packed
+            # entry, so ln == 0 and v == code << 0 == 0 (a valid byte's
+            # symbol occurs in the stream, hence ln >= 1 from the table)
+            p = jnp.where(bpos < valid_col, p, 0)
+            ln = p & 31
             v = _shl_u((p >> 5).astype(_U32), (32 - ln) & 31)
-            v4.append(jnp.where(ln == 0, _U32(0), v))
+            v4.append(v)
             l4.append(ln)
         # L1: byte pairs (4j, 4j+1) and (4j+2, 4j+3) — elementwise
         # (codes <= 16 bits, so the pair fits one word exactly)
