@@ -189,22 +189,24 @@ def main() -> None:
         bits_raw = np.asarray(bits_dev)
         extra["spec_patched_blocks"] = int(np.count_nonzero(bits_raw >> 30))
         bits_host = bits_raw & BITS_MASK
-        n_tiles, k_max = plan_pack(bits_host, cap)
+        n_tiles, k_max, f_tile = plan_pack(bits_host, cap)
         d_bits = jax.device_put(jnp.asarray(bits_host.astype(np.int32)))
         d_streams = jax.device_put(streams)
+        d_f = jax.device_put(jnp.asarray(f_tile))
 
         def mk_pack():
             # chain through bits[0] (bounded to keep the plan's coverage):
             # a (NB,) copy per iteration instead of the (NB, cap) streams
             @jax.jit
-            def fn(k, a_streams, a_bits):
+            def fn(k, a_streams, a_bits, a_f):
                 def body(_, carry):
                     b = a_bits.at[0].set(carry)
-                    o = _pack_prepared(a_streams, b, n_tiles, k_max, cap)
+                    o = _pack_prepared(a_streams, b, a_f, n_tiles, k_max,
+                                       cap)
                     return ((o[0, 0] ^ o[0, 1])
                             % jnp.uint32(2048)).astype(jnp.int32)
                 return jax.lax.fori_loop(0, k, body, jnp.int32(32))
-            return fn, (d_streams, d_bits)
+            return fn, (d_streams, d_bits, d_f)
         t_pack = slope_time(mk_pack, "pack")
         per_iter = t_enc + t_pack
         extra["encode_kernel_gbps"] = round(n / t_enc / 1e9, 2)
@@ -307,18 +309,28 @@ def main() -> None:
             extra["wide_ratio"] = round(float(wenc.ratio), 4)
             mcl = int(cb.lengths.max())
 
+            # wide kernels are slope-timed on a device-resident ex_mb
+            # slice (rates are size-linear; the full-GiB wide program
+            # additionally overflows the remote-compile tunnel)
+            n_w = ex_mb * 1024 * 1024
+            db_w, dv_w = dbw[: n_w // 1024], dv[: n_w // 1024]
+            extra["wide_mib"] = ex_mb
+
+            mcl_cap = next(b for b in (4, 8, 12) if mcl <= b)
+
             def mk_wide_enc():
                 @jax.jit
                 def fn(k, a_db, a_dv):
                     def body(_, carry):
                         dcc = dc.at[255].set(carry)
                         p0, _p1, bases, _c = _encode_device(
-                            a_db, dcc, dl, a_dv, jnp.int32(mcl))
+                            a_db, dcc, dl, a_dv, jnp.int32(mcl),
+                            mcl_cap=mcl_cap)
                         return p0[0, 0] ^ bases[0, 0].astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-                return fn, (db, dv)
+                return fn, (db_w, dv_w)
             t_we = slope_time(mk_wide_enc, "wide_encode")
-            extra["wide_encode_dev_gbps"] = round(n / t_we / 1e9, 3)
+            extra["wide_encode_dev_gbps"] = round(n_w / t_we / 1e9, 3)
 
             payload, roff0, g0a, roff1, g0b, nk = _decode_plan(wenc)
             lim_b, off, perm, min_len = cb.canonical_decode_arrays()
@@ -344,8 +356,9 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             extra["wide_error"] = str(e)[:120]
         try:
+            dec = api.decode(enc)          # warm (compile excluded below)
             t0 = time.perf_counter()
-            dec = api.decode(enc)
+            api.decode(enc)
             extra["dense_decode_e2e_gbps"] = round(
                 sub4.size / (time.perf_counter() - t0) / 1e9, 4)
             extra["dense_decode_ok"] = bool(np.array_equal(dec, sub4))
@@ -365,10 +378,14 @@ def main() -> None:
             from huffman_tpu.parallel.pipeline import encode_phase1
             mesh = make_mesh(1)
             bs = NamedSharding(mesh, P(DATA_AXIS))
-            d_b = jax.device_put(db, bs)         # device-side reshard
-            d_v = jax.device_put(dv, bs)
-            p1 = encode_phase1(mesh, cfg.capacity_words, True, kmcl)
-            _s1, bits1, _w1, _sh1, _h1 = jax.block_until_ready(
+            d_b = jax.device_put(dbw, bs)        # device-side reshard;
+            d_v = jax.device_put(dv, bs)         # words = the kernel input
+            # with_hist=False: the product path (ShardedCodec.encode)
+            # holds a codebook by phase 1, so the comparison against the
+            # bare encode kernel is apples-to-apples
+            p1 = encode_phase1(mesh, cfg.capacity_words, True, kmcl,
+                               with_hist=False)
+            _s1, bits1, _w1, _sh1 = jax.block_until_ready(
                 p1(d_b, d_v, dc, dl))
             extra["sharded_total_bits_ok"] = bool(
                 int(np.asarray(bits1).astype(np.int64).sum())
@@ -379,7 +396,7 @@ def main() -> None:
                 def fn(k, a_b, a_v):
                     def body(_, carry):
                         dcc = dc.at[255].set(carry)
-                        s, b, _w2, _sh2, _h2 = p1(a_b, a_v, dcc, dl)
+                        s, b, _w2, _sh2 = p1(a_b, a_v, dcc, dl)
                         return s[0, 0] ^ b[0].astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
                 return fn, (d_b, d_v)

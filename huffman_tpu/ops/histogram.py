@@ -37,7 +37,7 @@ def histogram_xla(data_u8: jax.Array, n_valid=None) -> jax.Array:
         ones, mode="drop")
 
 
-def histogram_onehot(data_u8: jax.Array, n_valid=None,
+def histogram_onehot(data: jax.Array, n_valid=None,
                      tile: int = 1 << 15) -> jax.Array:
     """Histogram via MXU-friendly nibble one-hot outer products.
 
@@ -45,26 +45,41 @@ def histogram_onehot(data_u8: jax.Array, n_valid=None,
     one-hots contracted over N on the MXU, giving the 16x16 = 256-bin
     histogram as a matrix.  Exact: products are 0/1, accumulated in f32
     (counts per tile < 2**24), then summed in int32.
+
+    data: uint8 bytes, or uint32 little-endian words (the Mosaic encode
+    kernel's input format, api._host_words) — byte 4j+k of the stream is
+    bits [8k, 8k+8) of word j.  n_valid always counts BYTES.
     """
-    flat = data_u8.reshape(-1)
-    n = flat.shape[0]
-    pad = (-n) % tile
+    words = data.dtype == jnp.uint32
+    flat = data.reshape(-1)
+    n = flat.shape[0] * (4 if words else 1)
+    pad = (-flat.shape[0]) % tile
     if pad:
         flat = jnp.pad(flat, (0, pad))
     nv = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
 
     def tile_hist(carry, chunk_and_base):
         chunk, base = chunk_and_base
-        b = chunk.astype(jnp.int32)
-        valid = (base + jnp.arange(tile, dtype=jnp.int32)) < nv
-        hi = jnp.where(valid, b >> 4, -1)
-        lo = b & 15
-        oh_hi = jax.nn.one_hot(hi, 16, dtype=jnp.bfloat16)   # -1 -> all-zero row
-        oh_lo = jax.nn.one_hot(lo, 16, dtype=jnp.bfloat16)
-        h = jax.lax.dot_general(oh_hi, oh_lo, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        # Per-tile counts <= tile < 2**24 are exact in f32; accumulate the
-        # running total in int32 so multi-GiB streams stay exact.
+        h = jnp.zeros((16, 16), jnp.float32)
+        nsub = 4 if words else 1
+        for k in range(nsub):
+            if words:
+                b = ((chunk >> jnp.uint32(8 * k))
+                     & jnp.uint32(255)).astype(jnp.int32)
+                bpos = (base + jnp.arange(tile, dtype=jnp.int32)) * 4 + k
+            else:
+                b = chunk.astype(jnp.int32)
+                bpos = base + jnp.arange(tile, dtype=jnp.int32)
+            valid = bpos < nv
+            hi = jnp.where(valid, b >> 4, -1)
+            lo = b & 15
+            oh_hi = jax.nn.one_hot(hi, 16, dtype=jnp.bfloat16)  # -1 -> 0-row
+            oh_lo = jax.nn.one_hot(lo, 16, dtype=jnp.bfloat16)
+            h = h + jax.lax.dot_general(
+                oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        # Per-tile counts <= 4*tile < 2**24 are exact in f32; accumulate
+        # the running total in int32 so multi-GiB streams stay exact.
         return carry + h.astype(jnp.int32), None
 
     n_tiles = flat.shape[0] // tile

@@ -64,8 +64,14 @@ def _stage_geometry(cap_words: int) -> tuple[int, int, int]:
     return stride, align_b, k_mult
 
 
-_MW = 2048        # meta SMEM window: 1024-aligned (1-D SMEM DMA tiling
-                  # granularity), covers (f - f%1024)..f+K
+# Meta SMEM windows: the window base advances in _MA-aligned hops (the
+# refetch wait is synchronous, so its frequency is total_blocks/_MA —
+# 8192 keeps that to ~128 stalls at 1 GiB for 2 x 36 KiB of SMEM); the
+# window extends one _MA past the base hop so f anywhere inside the hop
+# plus k_max of coverage stays in range.  1-D SMEM DMA slices must be
+# 1024-element granular: _MA and _MW both are.
+_MA = 8192
+_MW = _MA + 1024
 
 TB = 4            # output tiles assembled per grid step: the per-segment
                   # ops are 1-2 vregs each, so a single tile's dependent
@@ -97,8 +103,8 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
             win_ref.at[pl.ds(off, wrows)], sems.at[slot, j])
 
     f = f_ref[g * TB]
-    a0 = pl.multiple_of((f >> 10) << 10, 1024)
-    prev_a0 = (f_ref[jnp.maximum(g - 1, 0) * TB] >> 10) << 10
+    a0 = pl.multiple_of((f // _MA) * _MA, 1024)
+    prev_a0 = (f_ref[jnp.maximum(g - 1, 0) * TB] // _MA) * _MA
 
     @pl.when(g == 0)
     def _():
@@ -320,37 +326,43 @@ def _bucket_quarter(x: int, lo: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "k_max",
                                              "cap_words", "interpret"))
-def _pack_prepared(block_streams, block_bits, n_tiles, k_max, cap_words,
-                   interpret=False):
+def _pack_prepared(block_streams, block_bits, f_tile, n_tiles, k_max,
+                   cap_words, interpret=False):
+    """f_tile comes from the HOST plan (plan_pack): a device searchsorted
+    over ~NB block offsets lowers to an XLA sort — several ms at 1M
+    blocks — while the host already walks the bit counts for the k_max
+    bucket anyway."""
     from ..scan import exclusive_bit_offsets
     bits = block_bits.astype(jnp.int32)
     off = exclusive_bit_offsets(jnp.concatenate(
         [bits, jnp.zeros(1, jnp.int32)]))        # +1: preshift's spill row
     shifted, nw = preshift_streams(block_streams, off.bit_shift[:-1], bits)
-    tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE_WORDS
-    f = jnp.searchsorted(off.word_base[:-1], tile_starts, side="left",
-                         method="sort").astype(jnp.int32)
-    f = jnp.maximum(f - 1, 0)
-    out = pack_tiles_pallas(shifted, off.word_base, nw, f,
+    out = pack_tiles_pallas(shifted, off.word_base, nw, f_tile,
                             n_tiles, k_max, cap_words, interpret=interpret)
     return out
 
 
-def plan_pack(block_bits_host, cap_words: int = 256) -> tuple[int, int]:
-    """(n_tiles, k_max) for a pack call, from host per-block bit counts.
+def plan_pack(block_bits_host, cap_words: int = 256,
+              start_bits: int = 0) -> tuple[int, int, "np.ndarray"]:
+    """(n_tiles, k_max, f_tile) for a pack call, from host per-block bits.
 
     n_tiles is quarter-pow2 bucketed; K — the max blocks covering one
     tile, the kernel's per-segment cost driver — is computed EXACTLY from
     the host offsets (including the compact-staging f alignment of
     _stage_geometry) and bucketed so kernel shapes hit the compile cache.
+    f_tile (np int32, (n_tiles,)) is each tile's first covering block —
+    computed here because a device searchsorted lowers to an XLA sort.
+    start_bits: initial bit cursor (a shard's global start phase mod 32,
+    for the sharded per-shard plans; 0 on the single-chip path).
     """
     import numpy as np
     _stride, align_b, k_mult = _stage_geometry(cap_words)
     bits = np.asarray(block_bits_host, dtype=np.int64)
-    total_words = int((bits.sum() + 31) // 32)
+    total_words = int((bits.sum() + start_bits + 31) // 32)
     n_tiles = _bucket_quarter(max(total_words, 1) // TILE_WORDS + 1, 8)
     n_tiles = -(-n_tiles // TB) * TB      # TB subtiles per grid step
-    word_base = np.concatenate([[0], np.cumsum(bits)[:-1] >> 5])
+    word_base = (np.concatenate([[0], np.cumsum(bits)[:-1]])
+                 + start_bits) >> 5
     tile_starts = np.arange(n_tiles, dtype=np.int64) * TILE_WORDS
     first = np.maximum(np.searchsorted(word_base, tile_starts, "left") - 1, 0)
     first -= first % align_b
@@ -368,7 +380,10 @@ def plan_pack(block_bits_host, cap_words: int = 256) -> tuple[int, int]:
     if k_need > 49 + align_b:  # full 1 KiB blocks emit >= 1024 bits, so a
         raise ValueError(      # 1024-word tile is covered by <= 34 blocks
             f"pack tile covered by {k_need} blocks — corrupt block_bits?")
-    return n_tiles, max(-(-k_need // k_mult) * k_mult, k_mult)
+    f_tile = np.maximum(
+        np.searchsorted(word_base, tile_starts, "left") - 1, 0)
+    return (n_tiles, max(-(-k_need // k_mult) * k_mult, k_mult),
+            f_tile.astype(np.int32))
 
 
 def pack_dense_parallel(block_streams: jax.Array, block_bits_host,
@@ -383,8 +398,9 @@ def pack_dense_parallel(block_streams: jax.Array, block_bits_host,
     if cap > 896:
         raise ValueError("pack_dense_parallel requires cap_words <= 896 "
                          "(a shifted block must fit one 1024-word tile)")
-    n_tiles, k_max = plan_pack(block_bits_host, cap)
+    n_tiles, k_max, f_tile = plan_pack(block_bits_host, cap)
     bits = np.asarray(block_bits_host, dtype=np.int32)
     out = _pack_prepared(block_streams, jnp.asarray(bits),
-                         n_tiles, k_max, cap, interpret=interpret)
+                         jnp.asarray(f_tile), n_tiles, k_max, cap,
+                         interpret=interpret)
     return out.reshape(-1)

@@ -350,10 +350,12 @@ def _butterfly_compact2(v0, v1, mask, rank):
 
 
 def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
-                 out1_ref):
+                 out1_ref, *, max_words: int):
     """One tile: select each pulling lane's word pair, compact to plane
     positions.  The schedule (pos, bases, per-round counts) is
-    precomputed (wide._schedule_arrays)."""
+    precomputed (wide._schedule_arrays).  max_words statically bounds the
+    per-lane stream cursor (8*mcl words for a 256-byte substream), which
+    bounds the word-pair select scan — the kernel's dominant loop."""
     i = pl.program_id(0)
 
     def round_body(j, carry):
@@ -367,7 +369,7 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
         # streams[s, 128*w + l]
         sel0 = jnp.zeros((8, 128), _U32)
         sel1 = jnp.zeros((8, 128), _U32)
-        for c in range(SUB_WORDS * MAXLEN // 16 + 3):      # wcur <= 97
+        for c in range(max_words + 2):
             chunk = streams_ref[:, c * 128:(c + 1) * 128]
             sel0 = jnp.where(wcur == c, chunk, sel0)
             sel1 = jnp.where(wcur == c - 1, chunk, sel1)
@@ -423,10 +425,11 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
         out1_ref[pl.ds(row_base, 8), :] = pend1[:8]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "max_words"))
 def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
                        bases: jax.Array, cnts: jax.Array,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       max_words: int = SUB_WORDS * MAXLEN // 16 + 1):
     """Materialize payload planes from substream streams + schedule.
 
     streams_wm: (NT*8, 16384) u32 — substream streams word-major:
@@ -435,6 +438,9 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
       in round j (rows 8j..8j+8 of tile t's 512-row block), -1 = no pull.
     bases/cnts: (NT*ROUNDS,) i32 — per-round pull-index base and count
       (scalar prefetch).
+    max_words: static bound on used substream words (8 * max code length
+      for 256-byte substreams; default = the format-wide MAXLEN bound) —
+      a narrow codebook cuts the kernel's dominant select scan by ~1/3.
     Returns (P0, P1), each (NT*PLANE_ROWS, 128) u32 (live words per tile
     = per-tile total pulls; rows beyond are unspecified).
     """
@@ -456,7 +462,7 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
         ),
     )
     return pl.pallas_call(
-        _emit_kernel,
+        functools.partial(_emit_kernel, max_words=max_words),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nt * PLANE_ROWS, 128), _U32),

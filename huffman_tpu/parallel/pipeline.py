@@ -50,7 +50,14 @@ def _shard_exclusive_base(local_w, local_r, axis: str):
 
 
 def histogram_sharded(mesh: Mesh):
-    """Jitted global histogram: local one-hot hist + psum over the mesh."""
+    """Jitted global histogram: local one-hot hist + psum over the mesh.
+
+    Blocks may arrive as uint8 bytes or as (NB, 256) uint32 LE words (the
+    Mosaic word-view upload, shard_inputs(as_words=True)) —
+    histogram_onehot dispatches on dtype.  A shard's valid bytes are a
+    prefix of its blocks in the ShardedCodec layout (full blocks, one
+    partial, zero tail), which is what n_valid counting assumes.
+    """
 
     @functools.partial(
         shard_map, mesh=mesh, check_vma=False,
@@ -136,27 +143,32 @@ def encode_step(mesh: Mesh, capacity_words: int):
 
 
 def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
-                  max_code_len: int = 16):
-    """Sharded phase 1: psum histogram + block encode + shard scan base.
+                  max_code_len: int = 16, with_hist: bool = True):
+    """Sharded phase 1: block encode + shard scan base (+ psum histogram).
 
     On TPU the per-shard block encode is the Mosaic tree kernel
     (ops/pallas/encode.py) running INSIDE shard_map; elsewhere the XLA
     twin.  Returns (block_streams sharded, bits sharded, shard_word,
-    shard_shift, hist) — the pack runs in phase 2 so the host can pick
+    shard_shift[, hist]) — the pack runs in phase 2 so the host can pick
     optimal static tile/coverage buckets from the bit counts it needs to
-    fetch anyway (overflow check + container header).
+    fetch anyway (overflow check + container header).  with_hist=False
+    skips the psum histogram: callers that already hold a codebook
+    (ShardedCodec.encode always does by phase 1) would otherwise pay the
+    full histogram pass again for an output they discard.
     """
     cap = cdiv(capacity_words, 128) * 128 if use_pallas else capacity_words
+    outs = (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
 
     @functools.partial(
         shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                   P()))
+        out_specs=outs + (P(),) if with_hist else outs)
     def _p1(blocks_loc, valid_loc, codes, lengths):
-        nv = jnp.sum(valid_loc.astype(jnp.int32))
-        hist = jax.lax.psum(
-            hist_ops.histogram_onehot(blocks_loc, n_valid=nv), DATA_AXIS)
+        if with_hist:
+            nv = jnp.sum(valid_loc.astype(jnp.int32))
+            hist = jax.lax.psum(
+                hist_ops.histogram_onehot(blocks_loc, n_valid=nv),
+                DATA_AXIS)
         if use_pallas:
             from ..ops.pallas.encode import encode_blocks_pallas
             packed, bits = encode_blocks_pallas(
@@ -171,7 +183,8 @@ def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
             jnp.sum(w), jnp.sum(r), DATA_AXIS)
         shard_word = base_w + (base_r >> 5)
         shard_shift = base_r & 31
-        return (packed, bits, shard_word[None], shard_shift[None], hist)
+        head = (packed, bits, shard_word[None], shard_shift[None])
+        return head + (hist,) if with_hist else head
 
     return jax.jit(_p1)
 
@@ -189,9 +202,9 @@ def pack_phase2(mesh: Mesh, n_tiles: int, k_max: int, cap: int,
 
     @functools.partial(
         shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
-    def _p2(streams_loc, bits_loc, shift_loc):
+    def _p2(streams_loc, bits_loc, shift_loc, f_loc):
         nb_loc = streams_loc.shape[0]
         shard_shift = shift_loc[0]
         bits = bits_loc.astype(jnp.int32)
@@ -204,18 +217,14 @@ def pack_phase2(mesh: Mesh, n_tiles: int, k_max: int, cap: int,
         word_base_loc = ex_w + (ex_r >> 5)
         bit_shift_loc = ex_r & 31
         if use_pallas:
-            from ..ops.pallas.pack2 import (TILE_WORDS, pack_tiles_pallas,
+            from ..ops.pallas.pack2 import (pack_tiles_pallas,
                                             preshift_streams)
             shifted, nw = preshift_streams(streams_loc, bit_shift_loc, bits)
             wb_ext = jnp.concatenate(           # +1: preshift's spill row
                 [word_base_loc,
                  (cw[-1:] + ((cr[-1:] + shard_shift) >> 5))])
-            tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE_WORDS
-            f = jnp.searchsorted(word_base_loc, tile_starts, side="left",
-                                 method="sort").astype(jnp.int32)
-            f = jnp.maximum(f - 1, 0)
             stream_loc = pack_tiles_pallas(
-                shifted, wb_ext, nw, f, n_tiles, k_max,
+                shifted, wb_ext, nw, f_loc.reshape(-1), n_tiles, k_max,
                 cap).reshape(-1)
         else:
             stream_loc = pack_ops.pack_at_offsets(
@@ -269,8 +278,14 @@ class ShardedCodec:
         valid = valid_per_block(n, nb, self.cfg.block_bytes)
         return blocks, valid, n
 
-    def shard_inputs(self, blocks, valid):
+    def shard_inputs(self, blocks, valid, as_words: bool = False):
+        """Upload sharded blocks (+valid).  as_words: ship the free host
+        LE word view instead of bytes — the Mosaic encode kernel's input
+        format (api._host_words), skipping the device repack pass."""
         bs = NamedSharding(self.mesh, P(DATA_AXIS))
+        if as_words:
+            from ..api import _host_words
+            blocks = _host_words(np.asarray(blocks))
         return (jax.device_put(blocks, bs), jax.device_put(valid, bs))
 
     def encode(self, data, codebook: Codebook | None = None,
@@ -289,14 +304,15 @@ class ShardedCodec:
             use_pallas = _use_pallas_default()
         cfg = self.cfg
         blocks, valid, n = self.prepare(data)
-        d_blocks, d_valid = self.shard_inputs(blocks, valid)
+        d_blocks, d_valid = self.shard_inputs(blocks, valid,
+                                              as_words=use_pallas)
         if codebook is None:
             hist = np.asarray(histogram_sharded(self.mesh)(d_blocks, d_valid))
             codebook = Codebook.from_frequencies_auto(hist, cfg.max_code_len,
                                                       cfg.narrow_tol)
         p1 = encode_phase1(self.mesh, cfg.capacity_words, use_pallas,
-                           cfg.max_code_len)
-        streams, bits_dev, shard_word, shard_shift, _hist = p1(
+                           cfg.max_code_len, with_hist=False)
+        streams, bits_dev, shard_word, shard_shift = p1(
             d_blocks, d_valid, jnp.asarray(codebook.codes),
             jnp.asarray(codebook.lengths))
         bits = np.asarray(bits_dev)
@@ -312,18 +328,25 @@ class ShardedCodec:
         shift_h = np.asarray(shard_shift).reshape(-1)
         if use_pallas:
             from ..ops.pallas.pack2 import plan_pack
-            # per-shard exact plan (the shard's initial bit shift enters as
-            # a phantom leading block, a safe +1 on coverage); all shards
-            # share the max so one kernel shape serves the whole mesh
-            n_tiles, k_max = 1, 4
-            for s in range(ndev):
-                nt_s, k_s = plan_pack(
-                    np.concatenate([[int(shift_h[s])], bits64[s]]), cap)
-                n_tiles, k_max = max(n_tiles, nt_s), max(k_max, k_s)
+            # per-shard exact plan; all shards share the max (n_tiles,
+            # k_max) so one kernel shape serves the whole mesh, and each
+            # shard carries its own host-planned f_tile (padded to the
+            # shared n_tiles with repeats of its last value — extra tiles
+            # compute zeros)
+            plans = [plan_pack(bits64[s], cap, start_bits=int(shift_h[s]))
+                     for s in range(ndev)]
+            n_tiles = max(p[0] for p in plans)
+            k_max = max(p[1] for p in plans)
+            f_all = np.stack([
+                np.pad(p[2], (0, n_tiles - p[2].size), mode="edge")
+                for p in plans]).astype(np.int32)
         else:
             n_tiles, k_max = 1, 1   # unused by the XLA body
+            f_all = np.zeros((ndev, 1), np.int32)
         p2 = pack_phase2(self.mesh, n_tiles, k_max, cap, use_pallas)
-        shard_streams, used = p2(streams, bits_dev, shard_shift)
+        d_f = jax.device_put(f_all,
+                             NamedSharding(self.mesh, P(DATA_AXIS)))
+        shard_streams, used = p2(streams, bits_dev, shard_shift, d_f)
         stream = assemble_dense(np.asarray(shard_streams),
                                 np.asarray(shard_word), np.asarray(used),
                                 cdiv(total_bits, 32))

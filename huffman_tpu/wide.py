@@ -111,13 +111,17 @@ def _schedule(l2: jax.Array, nk: jax.Array, mcl: int):
             cnts.transpose(1, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mcl_cap"))
 def _encode_device(blocks, codes, lengths, valid, mcl,
-                   interpret: bool = False):
-    """blocks (NB,1024) u8 -> (P0, P1, bases, cnts) device arrays.
+                   interpret: bool = False, mcl_cap: int = MAXLEN):
+    """blocks (NB,1024) u8 or (NB,256) u32 LE words (api._host_words)
+    -> (P0, P1, bases, cnts) device arrays.
 
     P0/P1: (NT*PLANE_ROWS, 128) u32 plane rows (live words per tile =
     bases[t,-1] + cnts[t,-1]); bases/cnts (NT, ROUNDS) i32.
+    mcl is the EXACT max code length (traced; enters the pull rule, so
+    it is format data); mcl_cap is a static bucket >= mcl ({4, 8, 12})
+    that bounds the emit kernel's select scan.
     """
     from .ops.pallas.encode import (BLOCK_BYTES, bytes_to_words,
                                     encode_tree_chunks, pack_table)
@@ -127,12 +131,13 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
 
     nb = blocks.shape[0]
     nt = nb * 1024 // TILE_BYTES
+    words = (blocks if blocks.dtype == jnp.uint32
+             else bytes_to_words(blocks))
 
     t = 128 if nb % 128 == 0 else 32
     grid = nb // t
     table = pack_table(codes, lengths)
-    valid_col = jnp.broadcast_to(valid.astype(jnp.int32)[:, None],
-                                 (nb, 128))
+    valid_col = valid.astype(jnp.int32)[:, None]
 
     def _kern(table_ref, valid_ref, words_ref, out_ref, l2_ref):
         word_chunks = [words_ref[:, :128], words_ref[:, 128:256]]
@@ -151,7 +156,7 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
         in_specs=[
             pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 128), lambda i: (i, 0),
+            pl.BlockSpec((t, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, BLOCK_BYTES // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -167,7 +172,7 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
             jax.ShapeDtypeStruct((nb, 256), jnp.int32),
         ),
         interpret=interpret,
-    )(table, valid_col, bytes_to_words(blocks))
+    )(table, valid_col, words)
 
     # substream streams word-major per tile: word w of tile substream
     # k = 128s + l at [8t + s, 128w + l]
@@ -184,7 +189,8 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
     pos, bases, cnts = _schedule(l2t, nk, mcl)
     p0, p1 = wk.emit_planes_pallas(
         streams_wm, pos.reshape(nt * ROUNDS * 8, 128),
-        bases.reshape(-1), cnts.reshape(-1), interpret=interpret)
+        bases.reshape(-1), cnts.reshape(-1), interpret=interpret,
+        max_words=8 * mcl_cap)
     return p0, p1, bases, cnts
 
 
@@ -215,11 +221,13 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
     nt = nbb
     padded = np.zeros(nt * TILE_BYTES, np.uint8)
     padded[:n] = arr
-    blocks = jnp.asarray(padded.reshape(-1, 1024))
-    valid = jnp.asarray(api.valid_per_block(n, blocks.shape[0], 1024))
+    nb_w = nt * TILE_BYTES // 1024
+    blocks = jnp.asarray(api._host_words(padded.reshape(-1, 1024)))
+    valid = jnp.asarray(api.valid_per_block(n, nb_w, 1024))
+    mcl_cap = next(b for b in (4, 8, MAXLEN) if mcl <= b)
     p0, p1, bases, cnts = _encode_device(
         blocks, jnp.asarray(cb.codes), jnp.asarray(cb.lengths), valid,
-        jnp.int32(mcl), interpret=interpret)
+        jnp.int32(mcl), interpret=interpret, mcl_cap=mcl_cap)
     bases = np.asarray(bases)
     tile_words = (bases[:, -1] + np.asarray(cnts)[:, -1]).astype(np.int32)
     p0 = np.asarray(p0).reshape(nt, PLANE_ROWS * 128)
