@@ -60,8 +60,11 @@ def _stage_geometry(cap_words: int) -> tuple[int, int, int]:
     else:
         stride = TILE_ROWS
     align_b = max(1, TILE_ROWS // stride)
-    k_mult = max(4, align_b)
-    return stride, align_b, k_mult
+    # k counts REAL coverage only: the window DMA start is align_b-
+    # aligned, but the kernel shifts the staged window by the sub-
+    # alignment row offset once per subtile, so misalignment costs a
+    # cheap sublane gather instead of align_b dead segments
+    return stride, align_b, 4
 
 
 # Meta SMEM windows: the window base advances in _MA-aligned hops (the
@@ -80,12 +83,18 @@ TB = 4            # output tiles assembled per grid step: the per-segment
                   # reason the encode kernel runs block_tile=256)
 
 
+def _wrows(stride: int, k_max: int) -> int:
+    """Staged window rows: k_max strips + the sub-alignment shift (< 8)
+    + one strip of slack for the gs-row strip slice, 8-row granular."""
+    return -(-(stride * (k_max + 1) + 7) // 8) * 8
+
+
 def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
                  out_ref, win_ref, mw_ref, mx_ref, sems, *,
                  k_max: int, cap_words: int, n_steps: int):
     g = pl.program_id(0)
     stride, _ab, _km = _stage_geometry(cap_words)
-    wrows = stride * k_max
+    wrows = _wrows(stride, k_max)
 
     # -- stream windows: double-buffered VMEM DMA, one window per subtile
     # (TB per step).  Meta windows: SMEM, single-buffered, refetched ONLY
@@ -151,7 +160,27 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
     for j in range(TB):
         woff = pl.multiple_of((slot * TB + j) * wrows, TILE_ROWS)
         win = win_ref[pl.ds(woff, wrows)]
-        p0 = f_ref[g * TB + j] - a0
+        f_raw = f_ref[g * TB + j]
+        # sub-alignment shift: the DMA started at the align_b-rounded
+        # block, the segment loop counts from the REAL first block —
+        # shift the window rows up once (garbage rows past a strip's
+        # live words are masked by the live compare below)
+        d0 = f_raw * stride - wrow_ref[g * TB + j]     # in [0, 8)
+        # Mosaic's sublane gather is single-vreg (8-deep): shift per
+        # 8-row chunk, pulling spill rows from the next chunk.
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        idx8 = (r8 + d0) & 7
+        lo = r8 + d0 < 8
+        parts = []
+        for c in range(wrows // 8):
+            cc = win[8 * c: 8 * c + 8]
+            cn = (win[8 * c + 8: 8 * c + 16] if 8 * c + 16 <= wrows
+                  else jnp.zeros((8, 128), _U32))
+            ga = jnp.take_along_axis(cc, idx8, axis=0)
+            gb = jnp.take_along_axis(cn, idx8, axis=0)
+            parts.append(jnp.where(lo, ga, gb))
+        win = jnp.concatenate(parts, axis=0)
+        p0 = f_raw - a0
         tile_w0 = (g * TB + j) * TILE_WORDS
         acc = jnp.zeros((TILE_ROWS, 128), _U32)
         for k in range(k_max):
@@ -232,11 +261,11 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
       the total-words cursor — exclusive_bit_offsets of bits padded with
       a zero gives exactly that).
     nw: (NB,) i32 live words per row (from preshift_streams).
-    f_tile: (n_tiles,) i32 first covering block per tile (host/XLA
+    f_tile: (n_tiles,) i32 first covering block per tile (host
       searchsorted, may be early — masked segments cost nothing).  The
-      _stage_geometry alignment (f rounded down to a multiple of
-      align_b) is applied here, so callers pass the raw searchsorted f
-      and a k_max that covers the rounding (plan_pack does both).
+      window DMA start is rounded down to the _stage_geometry align_b
+      internally; the kernel counts segments from the RAW f and shifts
+      the staged window by the sub-alignment offset once per subtile.
     Returns (n_tiles*8, 128) u32 dense rows.
     """
     nb, cap = block_streams.shape
@@ -249,8 +278,8 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
         raise ValueError("cap_words must be <= 1024 (8 rows)")
     stride, align_b, _km = _stage_geometry(cap)
     f_tile = f_tile.astype(jnp.int32)
-    f_tile = f_tile - (f_tile % align_b)
-    wrows = stride * k_max
+    f_al = f_tile - (f_tile % align_b)     # 8-row-granular DMA start
+    wrows = _wrows(stride, k_max)
     # stage at stride rows per block, plus a window of trailing zero rows
     # so the last tile's DMA stays in range
     rows3 = block_streams.reshape(nb, cap_rows, 128)
@@ -268,7 +297,7 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
     metax = jnp.concatenate(
         [nw.astype(jnp.int32), jnp.zeros(mpad, jnp.int32)])
 
-    wrow0 = (f_tile * stride).astype(jnp.int32)
+    wrow0 = (f_al * stride).astype(jnp.int32)
 
     n_steps = n_tiles // TB
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -365,7 +394,6 @@ def plan_pack(block_bits_host, cap_words: int = 256,
                  + start_bits) >> 5
     tile_starts = np.arange(n_tiles, dtype=np.int64) * TILE_WORDS
     first = np.maximum(np.searchsorted(word_base, tile_starts, "left") - 1, 0)
-    first -= first % align_b
     last = np.maximum(
         np.searchsorted(word_base, tile_starts + TILE_WORDS, "left") - 1, 0)
     # zero-bit tail blocks (power-of-two bucket padding) share the final

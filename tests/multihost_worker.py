@@ -77,7 +77,9 @@ streams, bits_dev, shard_word, shard_shift, hist = p1(
     d_blocks, d_valid, jnp.asarray(cb.codes), jnp.asarray(cb.lengths))
 
 p2 = pack_phase2(mesh, 1, 1, streams.shape[1], use_pallas=False)
-shard_streams, used = p2(streams, bits_dev, shard_shift)
+f_dummy = jax.make_array_from_process_local_data(    # unused by XLA body
+    bs, np.zeros((2, 1), np.int32), (ndev, 1))
+shard_streams, used = p2(streams, bits_dev, shard_shift, f_dummy)
 
 # gather everything to every process and verify on all of them
 bits = multihost_utils.process_allgather(bits_dev, tiled=True)
