@@ -380,15 +380,16 @@ def main() -> None:
             bs = NamedSharding(mesh, P(DATA_AXIS))
             d_b = jax.device_put(dbw, bs)        # device-side reshard;
             d_v = jax.device_put(dv, bs)         # words = the kernel input
-            # with_hist=False: the product path (ShardedCodec.encode)
-            # holds a codebook by phase 1, so the comparison against the
-            # bare encode kernel is apples-to-apples
-            p1 = encode_phase1(mesh, cfg.capacity_words, True, kmcl,
-                               with_hist=False)
+            # with_hist=False + the same speculative (cap, tree-width)
+            # schedule as the bare kernel: the product path
+            # (ShardedCodec.encode) runs exactly this, so the comparison
+            # against the bare encode kernel is apples-to-apples
+            p1 = encode_phase1(mesh, cap, True, kmcl,
+                               with_hist=False, halve_to=halve_to)
             _s1, bits1, _w1, _sh1 = jax.block_until_ready(
                 p1(d_b, d_v, dc, dl))
             extra["sharded_total_bits_ok"] = bool(
-                int(np.asarray(bits1).astype(np.int64).sum())
+                int((np.asarray(bits1) & BITS_MASK).astype(np.int64).sum())
                 == int(bits_host.astype(np.int64).sum()))
 
             def mk_p1():

@@ -142,8 +142,10 @@ def encode_step(mesh: Mesh, capacity_words: int):
     return jax.jit(_step)
 
 
+@functools.lru_cache(maxsize=64)
 def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
-                  max_code_len: int = 16, with_hist: bool = True):
+                  max_code_len: int = 16, with_hist: bool = True,
+                  halve_to: int = 0, interpret: bool = False):
     """Sharded phase 1: block encode + shard scan base (+ psum histogram).
 
     On TPU the per-shard block encode is the Mosaic tree kernel
@@ -155,6 +157,12 @@ def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
     skips the psum histogram: callers that already hold a codebook
     (ShardedCodec.encode always does by phase 1) would otherwise pay the
     full histogram pass again for an output they discard.
+
+    halve_to: speculative merge-tree width for the Mosaic kernel (see
+    encode_tree_chunks) — per-block violation flags ride in bit 30 of the
+    returned bits; the shard scan base always uses the MASKED counts,
+    which are exact regardless.  The builder is cached so repeated
+    ShardedCodec.encode calls reuse the jitted step.
     """
     cap = cdiv(capacity_words, 128) * 128 if use_pallas else capacity_words
     outs = (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
@@ -170,15 +178,18 @@ def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
                 hist_ops.histogram_onehot(blocks_loc, n_valid=nv),
                 DATA_AXIS)
         if use_pallas:
-            from ..ops.pallas.encode import encode_blocks_pallas
+            from ..ops.pallas.encode import BITS_MASK, encode_blocks_pallas
             packed, bits = encode_blocks_pallas(
                 blocks_loc, codes, lengths, valid_loc, cap,
-                max_code_len=max_code_len)
+                max_code_len=max_code_len, halve_to_chunks=halve_to,
+                interpret=interpret)
+            bc = bits & BITS_MASK
         else:
             packed, bits = encode_ops.encode_blocks(
                 blocks_loc, codes, lengths, valid_loc, cap)
-        w = bits >> 5
-        r = bits & 31
+            bc = bits
+        w = bc >> 5
+        r = bc & 31
         base_w, base_r, _, _ = _shard_exclusive_base(
             jnp.sum(w), jnp.sum(r), DATA_AXIS)
         shard_word = base_w + (base_r >> 5)
@@ -189,8 +200,37 @@ def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
     return jax.jit(_p1)
 
 
+@functools.lru_cache(maxsize=64)
+def overlay_phase(mesh: Mesh, cap: int, nfix: int):
+    """Sharded row overlay: streams[idx[i]] = fixed[i], shard-locally.
+
+    The sharded twin of api._overlay_rows (the speculative-tree patch
+    writer): each shard appends one scratch row, fori-loops
+    dynamic_update_slice over its nfix (index, row) pairs — sentinel
+    index nb_loc lands in the scratch row — and drops the scratch.  The
+    streams buffer is donated, so the patch is in place.
+    """
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS))
+    def _ov(streams_loc, fixed_loc, idx_loc):
+        s = jnp.concatenate(
+            [streams_loc, jnp.zeros((1, cap), streams_loc.dtype)])
+
+        def body(i, s):
+            row = jax.lax.dynamic_slice(fixed_loc, (i, 0), (1, cap))
+            return jax.lax.dynamic_update_slice(s, row, (idx_loc[i], 0))
+
+        return jax.lax.fori_loop(0, nfix, body, s)[:-1]
+
+    return jax.jit(_ov, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=64)
 def pack_phase2(mesh: Mesh, n_tiles: int, k_max: int, cap: int,
-                use_pallas: bool):
+                use_pallas: bool, interpret: bool = False):
     """Sharded phase 2: per-shard bit-pack at local offsets.
 
     Each shard packs its own slice of the dense stream, pre-shifted by its
@@ -207,7 +247,8 @@ def pack_phase2(mesh: Mesh, n_tiles: int, k_max: int, cap: int,
     def _p2(streams_loc, bits_loc, shift_loc, f_loc):
         nb_loc = streams_loc.shape[0]
         shard_shift = shift_loc[0]
-        bits = bits_loc.astype(jnp.int32)
+        # mask the speculative-tree flag (bit 30) — real counts are exact
+        bits = bits_loc.astype(jnp.int32) & ((1 << 30) - 1)
         w = bits >> 5
         r = bits & 31
         cw = jnp.cumsum(w)
@@ -225,7 +266,7 @@ def pack_phase2(mesh: Mesh, n_tiles: int, k_max: int, cap: int,
                  (cw[-1:] + ((cr[-1:] + shard_shift) >> 5))])
             stream_loc = pack_tiles_pallas(
                 shifted, wb_ext, nw, f_loc.reshape(-1), n_tiles, k_max,
-                cap).reshape(-1)
+                cap, interpret=interpret).reshape(-1)
         else:
             stream_loc = pack_ops.pack_at_offsets(
                 streams_loc, word_base_loc, bit_shift_loc,
@@ -288,8 +329,54 @@ class ShardedCodec:
             blocks = _host_words(np.asarray(blocks))
         return (jax.device_put(blocks, bs), jax.device_put(valid, bs))
 
+    def _patch_flagged_sharded(self, streams, blocks, valid, cb, cap: int,
+                               kmcl: int, flagged: np.ndarray,
+                               interpret: bool = False):
+        """Re-encode spec-tree-flagged blocks with the safe tree and
+        overlay them into the SHARDED streams buffer (the sharded twin of
+        api._patch_flagged; typically a handful of rows per GiB).
+
+        flagged: host GLOBAL block indices.  The fixed rows are encoded
+        once on the default device, scattered host-side into per-shard
+        overlay slots (pow2-bucketed, sentinel index = the scratch row),
+        and written in place by the donated overlay_phase step.
+        """
+        from ..api import _host_words
+        from ..ops.pallas.encode import encode_blocks_pallas
+        ndev = self.mesh.devices.size
+        nb_loc = blocks.shape[0] // ndev
+        shard_of = flagged // nb_loc
+        counts = np.bincount(shard_of, minlength=ndev)
+        nfix = 8
+        while nfix < counts.max():
+            nfix *= 2
+        npad = 8
+        while npad < flagged.size:
+            npad *= 2
+        idxp = np.concatenate(
+            [flagged, np.repeat(flagged[:1], npad - flagged.size)])
+        fixed, _ = encode_blocks_pallas(
+            jnp.asarray(_host_words(blocks[idxp])), jnp.asarray(cb.codes),
+            jnp.asarray(cb.lengths), jnp.asarray(valid[idxp]), cap,
+            max_code_len=kmcl, interpret=interpret)
+        fixed = np.asarray(fixed)[: flagged.size]
+        fix_all = np.zeros((ndev, nfix, cap), np.uint32)
+        idx_all = np.full((ndev, nfix), nb_loc, np.int32)
+        slot = np.zeros(ndev, np.int64)
+        for i, g in enumerate(flagged):
+            s = int(g) // nb_loc
+            k = int(slot[s])
+            slot[s] = k + 1
+            fix_all[s, k] = fixed[i]
+            idx_all[s, k] = int(g) - s * nb_loc
+        bs = NamedSharding(self.mesh, P(DATA_AXIS))
+        ov = overlay_phase(self.mesh, cap, nfix)
+        return ov(streams,
+                  jax.device_put(fix_all.reshape(ndev * nfix, cap), bs),
+                  jax.device_put(idx_all.reshape(-1), bs))
+
     def encode(self, data, codebook: Codebook | None = None,
-               use_pallas: bool | None = None):
+               use_pallas: bool | None = None, interpret: bool = False):
         """Full sharded encode returning a single-chip-identical Encoded.
 
         Two phases with one host sync between (the per-block bit counts
@@ -297,9 +384,19 @@ class ShardedCodec:
         regardless): phase 1 = psum histogram + block encode + shard scan
         base; phase 2 = per-shard pack at optimal host-bucketed tile
         shapes.  use_pallas defaults to platform auto-detect: the Mosaic
-        kernels on TPU, the XLA twins elsewhere (CPU-mesh tests).
+        kernels on TPU, the XLA twins elsewhere (CPU-mesh tests; pass
+        use_pallas=True, interpret=True to run the Mosaic kernels under
+        the Pallas interpreter on a CPU mesh).
+
+        The Mosaic path runs the SAME speculative schedule as the
+        single-chip api.encode: the narrow capacity bucket and the
+        speculatively narrowed merge tree first (api._cap_schedule /
+        _spec_halve_to), retrying at the safe bucket only if some block's
+        exact bit count overflowed, and re-encoding the handful of
+        flag-bit blocks with the safe tree via a sharded row overlay.
         """
-        from ..api import Encoded
+        from ..api import (Encoded, _cap_schedule, _kernel_mcl,
+                           _spec_halve_to)
         if use_pallas is None:
             use_pallas = _use_pallas_default()
         cfg = self.cfg
@@ -310,12 +407,35 @@ class ShardedCodec:
             hist = np.asarray(histogram_sharded(self.mesh)(d_blocks, d_valid))
             codebook = Codebook.from_frequencies_auto(hist, cfg.max_code_len,
                                                       cfg.narrow_tol)
-        p1 = encode_phase1(self.mesh, cfg.capacity_words, use_pallas,
-                           cfg.max_code_len, with_hist=False)
-        streams, bits_dev, shard_word, shard_shift = p1(
-            d_blocks, d_valid, jnp.asarray(codebook.codes),
-            jnp.asarray(codebook.lengths))
-        bits = np.asarray(bits_dev)
+        d_codes = jnp.asarray(codebook.codes)
+        d_lens = jnp.asarray(codebook.lengths)
+        if use_pallas:
+            from ..ops.pallas.encode import BITS_MASK
+            kmcl = _kernel_mcl(codebook)
+            sched = _cap_schedule(cfg, kmcl, codebook.est_bpb)
+            for cap_try in sched:
+                halve_to = _spec_halve_to(cap_try, sched, kmcl, codebook)
+                p1 = encode_phase1(self.mesh, cap_try, True, kmcl,
+                                   with_hist=False, halve_to=halve_to,
+                                   interpret=interpret)
+                streams, bits_dev, shard_word, shard_shift = p1(
+                    d_blocks, d_valid, d_codes, d_lens)
+                bits_raw = np.asarray(bits_dev)
+                bits = bits_raw & BITS_MASK
+                if (int(bits.max(initial=0)) <= cap_try * 32
+                        or cap_try == sched[-1]):
+                    flagged = np.nonzero(bits_raw >> 30)[0]
+                    if flagged.size:
+                        streams = self._patch_flagged_sharded(
+                            streams, blocks, valid, codebook,
+                            streams.shape[1], kmcl, flagged, interpret)
+                    break
+        else:
+            p1 = encode_phase1(self.mesh, cfg.capacity_words, False,
+                               cfg.max_code_len, with_hist=False)
+            streams, bits_dev, shard_word, shard_shift = p1(
+                d_blocks, d_valid, d_codes, d_lens)
+            bits = np.asarray(bits_dev)
         if cfg.check_overflow and (bits > cfg.capacity_words * 32).any():
             raise OverflowError("block overflowed capacity; raise "
                                 "config.capacity_bits_per_byte")
@@ -343,7 +463,8 @@ class ShardedCodec:
         else:
             n_tiles, k_max = 1, 1   # unused by the XLA body
             f_all = np.zeros((ndev, 1), np.int32)
-        p2 = pack_phase2(self.mesh, n_tiles, k_max, cap, use_pallas)
+        p2 = pack_phase2(self.mesh, n_tiles, k_max, cap, use_pallas,
+                         interpret)
         d_f = jax.device_put(f_all,
                              NamedSharding(self.mesh, P(DATA_AXIS)))
         shard_streams, used = p2(streams, bits_dev, shard_shift, d_f)

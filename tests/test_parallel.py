@@ -70,6 +70,52 @@ class TestShardedEncode:
         assert verify.verify_encoded(enc, data)
 
 
+class TestShardedSpeculative:
+    """The Mosaic path's speculative schedule under shard_map.
+
+    Runs the REAL kernels (Pallas interpreter) on the CPU mesh with the
+    speculative tree forced on, over data engineered so some blocks MUST
+    be flagged and re-encoded through the sharded overlay patch —
+    bit-exactness proves phase1's masked scan base, the flag plumbing,
+    and _patch_flagged_sharded all compose.
+    """
+
+    def test_spec_patch_bit_exact(self, mesh8):
+        from unittest import mock
+        from huffman_tpu import api as api_mod
+        from huffman_tpu.golden.numpy_codec import packed_bytes_to_words
+        rng = np.random.default_rng(11)
+        data = testdata.skewed(32 * 1024, num_symbols=16, seed=10)
+        # runs of rare symbols: their ~12-bit codes make 8-byte windows
+        # far exceed 32 bits, guaranteeing spec-tree violations
+        for b in (3, 17, 30):
+            data[b * 1024 + 100: b * 1024 + 164] = \
+                rng.integers(200, 256, size=64)
+        cb = Codebook.from_data(data, 12)
+        assert int(cb.lengths.max()) > 8      # long codes present
+        with mock.patch.object(api_mod, "_spec_halve_to",
+                               lambda *a, **k: 1):
+            enc = ShardedCodec(mesh8).encode(data, codebook=cb,
+                                             use_pallas=True,
+                                             interpret=True)
+        ref_bytes, ref_bits = golden.encode(data, cb)
+        assert enc.total_bits == ref_bits
+        np.testing.assert_array_equal(enc.stream_words,
+                                      packed_bytes_to_words(ref_bytes))
+
+    def test_matches_single_chip_pallas(self, mesh8):
+        # unmocked product schedule, Mosaic kernels on both sides
+        data = testdata.skewed(48 * 1024, num_symbols=32, seed=21)
+        cb = Codebook.from_data(data)
+        enc8 = ShardedCodec(mesh8).encode(data, codebook=cb,
+                                          use_pallas=True, interpret=True)
+        ref_bytes, ref_bits = golden.encode(data, cb)
+        assert enc8.total_bits == ref_bits
+        from huffman_tpu.golden.numpy_codec import packed_bytes_to_words
+        np.testing.assert_array_equal(enc8.stream_words,
+                                      packed_bytes_to_words(ref_bytes))
+
+
 class TestShardedDecode:
     @pytest.mark.parametrize("ndev", [2, 8])
     def test_roundtrip(self, ndev):
