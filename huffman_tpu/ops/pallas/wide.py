@@ -305,18 +305,23 @@ def _butterfly_compact2(v0, v1, mask, rank):
     """Move (v0[i], v1[i]) (row-major flat i over (8,128)) to flat position
     rank[i] for masked lanes; rank must be the exclusive prefix count of
     mask (dense ranks — LSB-first butterfly routing is collision-free).
-    Routes BOTH value planes on one shared (disp, valid) track.
+    Routes BOTH value planes on one shared disp track.
     Unmasked output positions are zero."""
     flat = (jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0) * 128
             + jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1))
+    # dead slots are canonical all-zero (values AND disp): disp == 0 never
+    # moves, so no separate validity track rides the butterfly — an
+    # arrival is detected by bit k of the shifted-in disp (a mover has it
+    # set by definition), and LSB-first dense-rank routing guarantees a
+    # stationary live element never collides with an arrival.  3 shifted
+    # arrays per stage instead of 5.
     disp = jnp.where(mask, flat - rank, 0)
     a0 = jnp.where(mask, v0, _U32(0))
     a1 = jnp.where(mask, v1, _U32(0))
-    valid = mask
     for k in range(10):
         bit = 1 << k
 
-        def shl(arr, fill):
+        def shl(arr):
             if bit < 128:
                 lane = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
                 x = jnp.take_along_axis(arr, jnp.clip(lane + bit, 0, 127),
@@ -324,28 +329,24 @@ def _butterfly_compact2(v0, v1, mask, rank):
                 dn = jnp.roll(arr, -1, axis=0)
                 row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
                 dn = jnp.where(row == arr.shape[0] - 1,
-                               jnp.full_like(arr, fill), dn)
+                               jnp.zeros_like(arr), dn)
                 y = jnp.take_along_axis(dn, jnp.clip(lane + bit - 128,
                                                      0, 127), axis=1)
                 return jnp.where(lane < 128 - bit, x, y)
             r = bit // 128
             dn = jnp.roll(arr, -r, axis=0)
             row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
-            return jnp.where(row < arr.shape[0] - r, dn,
-                             jnp.full_like(arr, fill))
+            return jnp.where(row < arr.shape[0] - r,
+                             dn, jnp.zeros_like(arr))
 
-        move = valid & ((disp & bit) != 0)
-        in_0 = shl(a0, 0)
-        in_1 = shl(a1, 0)
-        in_disp = shl(disp, 0)
-        in_valid = (shl(move.astype(jnp.int32), 0)
-                    & shl(valid.astype(jnp.int32), 0)) != 0
-        stay = valid & ~move
-        a0 = jnp.where(in_valid, in_0, jnp.where(stay, a0, _U32(0)))
-        a1 = jnp.where(in_valid, in_1, jnp.where(stay, a1, _U32(0)))
-        disp = jnp.where(in_valid, in_disp - bit,
-                         jnp.where(stay, disp, 0))
-        valid = in_valid | stay
+        move = (disp & bit) != 0
+        in_0 = shl(jnp.where(move, a0, _U32(0)))
+        in_1 = shl(jnp.where(move, a1, _U32(0)))
+        in_d = shl(jnp.where(move, disp, 0))
+        arrived = (in_d & bit) != 0
+        a0 = in_0 | jnp.where(move, _U32(0), a0)
+        a1 = in_1 | jnp.where(move, _U32(0), a1)
+        disp = jnp.where(arrived, in_d - bit, jnp.where(move, 0, disp))
     return a0, a1
 
 
@@ -366,13 +367,27 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
         rank = jnp.where(pull, posj - bases_ref[i * ROUNDS + j], 0)
 
         # word-pair select: lane (s,l)'s words wcur, wcur+1 live at
-        # streams[s, 128*w + l]
-        sel0 = jnp.zeros((8, 128), _U32)
-        sel1 = jnp.zeros((8, 128), _U32)
-        for c in range(max_words + 2):
-            chunk = streams_ref[:, c * 128:(c + 1) * 128]
-            sel0 = jnp.where(wcur == c, chunk, sel0)
-            sel1 = jnp.where(wcur == c - 1, chunk, sel1)
+        # streams[s, 128*w + l].  wcur is ALWAYS EVEN (starts at 0 and
+        # advances by 2 per pull), so candidates are word PAIRS indexed
+        # by q = wcur/2, selected by a TOURNAMENT tree keyed on q's bits:
+        # ~2*P selects total instead of the 3*P compare+select linear
+        # scan (P = pair count) — the kernel's dominant loop.
+        q = wcur >> 1
+        c0 = [streams_ref[:, (2 * p) * 128:(2 * p + 1) * 128]
+              for p in range((max_words + 2) // 2)]
+        c1 = [streams_ref[:, (2 * p + 1) * 128:(2 * p + 2) * 128]
+              for p in range((max_words + 2) // 2)]
+        level = 0
+        while len(c0) > 1:
+            m = (q & (1 << level)) != 0
+            c0 = [jnp.where(m, c0[2 * p + 1], c0[2 * p])
+                  if 2 * p + 1 < len(c0) else c0[2 * p]
+                  for p in range((len(c0) + 1) // 2)]
+            c1 = [jnp.where(m, c1[2 * p + 1], c1[2 * p])
+                  if 2 * p + 1 < len(c1) else c1[2 * p]
+                  for p in range((len(c1) + 1) // 2)]
+            level += 1
+        sel0, sel1 = c0[0], c1[0]
 
         e0, e1 = _butterfly_compact2(sel0, sel1, pull, rank)
         # append at fill level f into the 16-row pending buffers
@@ -380,17 +395,27 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
         e116 = jnp.concatenate([e1, jnp.zeros((8, 128), _U32)], axis=0)
         s0 = _flat_roll_right(e016, f & 127)
         s1 = _flat_roll_right(e116, f & 127)
+        # row placement: dest row d takes source row d - rowoff (rowoff in
+        # [0, 8)) — per-vreg 8-deep sublane gathers (Mosaic's gather is
+        # single-source-vreg) instead of an 8-way concat/select ladder.
+        # Top half reads only rows [0, 8); bottom half straddles both.
         rowoff = f >> 7
-        r0, r1 = s0, s1
-        for k in range(1, 8):
-            c0 = jnp.concatenate(
-                [jnp.zeros((k, 128), _U32), s0[:16 - k]], axis=0)
-            c1 = jnp.concatenate(
-                [jnp.zeros((k, 128), _U32), s1[:16 - k]], axis=0)
-            r0 = jnp.where(rowoff == k, c0, r0)
-            r1 = jnp.where(rowoff == k, c1, r1)
-        pend0 = pend0 | r0
-        pend1 = pend1 | r1
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        src_t = row8 - rowoff                  # in [-7, 7]
+        idx_t = src_t & 7
+        src_b = row8 + 8 - rowoff              # in [1, 15]
+
+        def place(s):
+            top = jnp.where(src_t >= 0,
+                            jnp.take_along_axis(s[:8], idx_t, axis=0),
+                            _U32(0))
+            bot = jnp.where(src_b >= 8,
+                            jnp.take_along_axis(s[8:], idx_t, axis=0),
+                            jnp.take_along_axis(s[:8], idx_t, axis=0))
+            return jnp.concatenate([top, bot], axis=0)
+
+        pend0 = pend0 | place(s0)
+        pend1 = pend1 | place(s1)
         f = f + cnt
 
         do_flush = f >= 1024

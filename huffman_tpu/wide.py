@@ -91,18 +91,29 @@ def _schedule(l2: jax.Array, nk: jax.Array, mcl: int):
     Returns (pos, bases, cnts): pos (NT, ROUNDS, N_SUB) i32 plane position
     of each pull (-1 = no pull); bases/cnts (NT, ROUNDS) i32.
     """
+    nt = l2.shape[0]
+    # rank via the MXU (the decode kernel's trick, _rank_mxu): a 1024-lane
+    # XLA cumsum lowers to 10 log-shift passes per scan step; one batched
+    # (128,128) upper-triangular matmul + an 8-row cumsum replaces them.
+    # f32 is exact: in-row counts <= 128, offsets <= 1024 (< 2^24).
+    tri = jnp.triu(jnp.ones((128, 128), jnp.float32))
+
     def step(carry, lens_j):
         avail, base, j = carry
         rem = nk - SPR * j
         pull = (avail < THRESH) & (avail < mcl * rem) & (rem > 0)
-        ip = jnp.cumsum(pull.astype(jnp.int32), axis=1)
+        m = pull.reshape(nt, 8, 128).astype(jnp.float32)
+        incl = jax.lax.dot_general(m, tri, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        rt = incl[:, :, -1]
+        offs = jnp.cumsum(rt, axis=1) - rt
+        ip = (incl + offs[:, :, None]).reshape(nt, N_SUB).astype(jnp.int32)
         rank = ip - pull
         cnt = ip[:, -1]
         pos = jnp.where(pull, base[:, None] + rank, -1)
         avail = avail + jnp.where(pull, 64, 0) - lens_j
         return (avail, base + cnt, j + 1), (pos, base, cnt)
 
-    nt = l2.shape[0]
     init = (jnp.zeros((nt, N_SUB), jnp.int32), jnp.zeros(nt, jnp.int32),
             jnp.int32(0))
     _, (pos, bases, cnts) = jax.lax.scan(
