@@ -29,7 +29,65 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .encode import merge_level, _safe_shl, _safe_shr, _U32
+from huffman_tpu.ops.pallas.encode import _safe_shl, _safe_shr, _U32
+
+
+def gather_chunks(val_chunks, src_chunks, lo: int, hi: int):
+    """out[d][t, l] = val[t, src[d][t, l]] over chunked 128-lane arrays.
+
+    src values are absolute lane indices into the logical concatenation of
+    val_chunks; displacement from the destination lane is bounded by
+    [lo, hi], which bounds the source chunks each destination chunk needs.
+    Out-of-range src yields 0.  (Superseded product code: merge_level_v2
+    in ops/pallas/encode.py replaced the per-lane gathers this does.)
+    """
+    t = val_chunks[0].shape[0]
+    n_src = 128 * len(val_chunks)
+    out = []
+    for d, src in enumerate(src_chunks):
+        acc = jnp.zeros((t, 128), val_chunks[0].dtype)
+        c_min = max(0, (d * 128 + lo) // 128)
+        c_max = min(len(val_chunks) - 1, (d * 128 + 127 + hi) // 128)
+        for c in range(c_min, c_max + 1):
+            g = jnp.take_along_axis(val_chunks[c],
+                                    jnp.clip(src - c * 128, 0, 127), axis=1)
+            acc = jnp.where((src >> 7) == c, g, acc)
+        out.append(jnp.where((src >= 0) & (src < n_src), acc,
+                             jnp.zeros((), val_chunks[0].dtype)))
+    return out
+
+
+def merge_level(vals, lens, S: int, it):
+    """One in-place doubling merge over chunked (T, 128) arrays (v1).
+
+    Superseded by ops/pallas/encode.merge_level_v2 (compact per-item
+    lengths, ~3x fewer vector ops); kept here for the v1 pack kernels
+    and the profile_stages.py cost comparisons.
+    """
+    M2 = 2 * S
+    n = len(vals)
+    lane = [it + 128 * d for d in range(n)]
+    base = [ln & ~(M2 - 1) for ln in lane]
+    a_len = gather_chunks(lens, base, -(M2 - 1), 0)
+    b_len = gather_chunks(lens, [b + S for b in base], -(M2 - 1), S)
+    ws = [al >> 5 for al in a_len]
+    src = [ln + S - w for ln, w in zip(lane, ws)]
+    braw = gather_chunks(vals, src, 0, S)
+    bprev = gather_chunks(vals, [s - 1 for s in src], -1, S - 1)
+    new_vals, new_lens = [], []
+    for d in range(n):
+        sh = a_len[d] & 31
+        j = lane[d] - base[d]
+        br = jnp.where((src[d] >= base[d] + S) & (src[d] < base[d] + M2),
+                       braw[d], _U32(0))
+        bp = jnp.where((src[d] - 1 >= base[d] + S)
+                       & (src[d] - 1 < base[d] + M2), bprev[d], _U32(0))
+        bsh = _safe_shr(br, sh) | _safe_shl(bp, 32 - sh)
+        in_b = (j >= ws[d]) & (j <= ws[d] + S) & (j < M2)
+        bsh = jnp.where(in_b, bsh, _U32(0))
+        new_vals.append(jnp.where(j < S, vals[d], _U32(0)) | bsh)
+        new_lens.append(a_len[d] + b_len[d])
+    return new_vals, new_lens
 
 
 def _expand_lens(lens_small, n_chunks: int, w_lanes: int, t: int):

@@ -30,7 +30,10 @@ def main():
     from huffman_tpu.codebook import Codebook
     from huffman_tpu.config import CodecConfig
     from huffman_tpu.ops.pallas.encode import encode_blocks_pallas
-    from huffman_tpu.ops.pallas.pack import merge8_pallas, align_pallas
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from pallas_pack_v1 import merge8_pallas, align_pallas
 
     mb = int(os.environ.get("HUFF_BENCH_MB", 64))
     n = mb * 1024 * 1024

@@ -75,7 +75,7 @@ def main():
                 p0, p1, bases, cnts = wide_mod._encode_device(
                     blocks, dcc, dl, valid, jnp.int32(mcl),
                     mcl_cap=mcl_cap)
-                return p0[0, 0] * jnp.uint32(0)
+                return p0[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
         return f, (blocks, dc, dl, valid)
     slope(mk_full, "full_encode_device")

@@ -62,70 +62,6 @@ def _iota128(t):
     return jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
 
 
-def gather_chunks(val_chunks, src_chunks, lo: int, hi: int):
-    """out[d][t, l] = val[t, src[d][t, l]] over chunked 128-lane arrays.
-
-    src values are absolute lane indices into the logical concatenation of
-    val_chunks; displacement from the destination lane is bounded by
-    [lo, hi], which bounds the source chunks each destination chunk needs.
-    Out-of-range src yields 0.
-    """
-    t = val_chunks[0].shape[0]
-    n_src = 128 * len(val_chunks)
-    out = []
-    for d, src in enumerate(src_chunks):
-        acc = jnp.zeros((t, 128), val_chunks[0].dtype)
-        c_min = max(0, (d * 128 + lo) // 128)
-        c_max = min(len(val_chunks) - 1, (d * 128 + 127 + hi) // 128)
-        # NOTE: d is the DESTINATION chunk index — callers must pass
-        # src_chunks aligned with the full chunked array, never a sublist.
-        for c in range(c_min, c_max + 1):
-            g = jnp.take_along_axis(val_chunks[c],
-                                    jnp.clip(src - c * 128, 0, 127), axis=1)
-            acc = jnp.where((src >> 7) == c, g, acc)
-        out.append(jnp.where((src >= 0) & (src < n_src), acc,
-                             jnp.zeros((), val_chunks[0].dtype)))
-    return out
-
-
-def merge_level(vals, lens, S: int, it):
-    """One in-place doubling merge over chunked (T, 128) arrays.
-
-    vals: chunk list of (T, 128) u32 — item streams, left-aligned, item i
-    occupying lanes [i*S, (i+1)*S), zero beyond each item's real words.
-    lens: chunk list of (T, 128) i32 — per-LANE item bit lengths (every
-    lane of an item's span holds that item's total).  S: item spacing in
-    lanes.  it: (T, 128) lane iota.  Returns merged (vals, lens) with
-    spacing 2*S.  Generic over chunk count: used by the block encoder
-    (S=1..256 within 1 KiB blocks) and the pack kernels (S=256.. across
-    blocks — reference pack analogue, pack_kernels.cu:19-52).
-    """
-    M2 = 2 * S
-    n = len(vals)
-    lane = [it + 128 * d for d in range(n)]
-    base = [ln & ~(M2 - 1) for ln in lane]
-    a_len = gather_chunks(lens, base, -(M2 - 1), 0)
-    b_len = gather_chunks(lens, [b + S for b in base], -(M2 - 1), S)
-    ws = [al >> 5 for al in a_len]
-    src = [ln + S - w for ln, w in zip(lane, ws)]
-    braw = gather_chunks(vals, src, 0, S)
-    bprev = gather_chunks(vals, [s - 1 for s in src], -1, S - 1)
-    new_vals, new_lens = [], []
-    for d in range(n):
-        sh = a_len[d] & 31
-        j = lane[d] - base[d]
-        br = jnp.where((src[d] >= base[d] + S) & (src[d] < base[d] + M2),
-                       braw[d], _U32(0))
-        bp = jnp.where((src[d] - 1 >= base[d] + S)
-                       & (src[d] - 1 < base[d] + M2), bprev[d], _U32(0))
-        bsh = _safe_shr(br, sh) | _safe_shl(bp, 32 - sh)
-        in_b = (j >= ws[d]) & (j <= ws[d] + S) & (j < M2)
-        bsh = jnp.where(in_b, bsh, _U32(0))
-        new_vals.append(jnp.where(j < S, vals[d], _U32(0)) | bsh)
-        new_lens.append(a_len[d] + b_len[d])
-    return new_vals, new_lens
-
-
 def _even_odd(chunks, parity: int, n_dest: int, it):
     """Deinterleave a chunked lane array: out[d][t, l] = src[2*(128d+l)+p].
 
@@ -163,7 +99,8 @@ def merge_level_v2(vals, alenc, n_items: int, S: int, it, max_code_len: int,
     in lanes [i*S, (i+1)*S).  alenc: compact chunk list, item i's total
     bit length at lane i.  Returns (vals, alenc) at spacing 2*S.
 
-    Against merge_level (v1) this cuts ~3x of the vector ops:
+    Against the v1 merge_level (superseded; now in
+    experiments/pallas_pack_v1.py) this cuts ~3x of the vector ops:
       * per-lane a_len/b_len gather_chunks -> one static-index gather from
         the compact array (the pair index per destination lane is a
         compile-time constant, and always lands in a single compact chunk);

@@ -466,6 +466,10 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
     max_words: static bound on used substream words (8 * max code length
       for 256-byte substreams; default = the format-wide MAXLEN bound) —
       a narrow codebook cuts the kernel's dominant select scan by ~1/3.
+      Rounded up to EVEN internally: the tournament word select walks
+      word PAIRS, so the pair list must cover ceil((max_words+1)/2) pairs
+      (the pull loop reads words wcur, wcur+1 with wcur <= max_words-1;
+      wcur is always even).
     Returns (P0, P1), each (NT*PLANE_ROWS, 128) u32 (live words per tile
     = per-tile total pulls; rows beyond are unspecified).
     """
@@ -486,6 +490,7 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
                          memory_space=pltpu.VMEM),
         ),
     )
+    max_words += max_words % 2   # pair coverage: see docstring
     return pl.pallas_call(
         functools.partial(_emit_kernel, max_words=max_words),
         grid_spec=grid_spec,
