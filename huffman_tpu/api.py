@@ -228,8 +228,31 @@ def _spec_halve_to(cap: int, sched: list[int], kmcl: int,
     return 0
 
 
+def _spec_compact16(cap: int, sched: list[int], kmcl: int,
+                    cb: Codebook, halve_to: int) -> bool:
+    """Whether the speculative 16-byte density compaction applies.
+
+    Only on the speculative capacity bucket, and only when the tree is
+    still wider than one chunk at the 8-byte-item level (otherwise the
+    compaction buys nothing).  Gated on the codebook's 16-byte-window
+    overflow estimate (codebook._window_overflow_fracs): a 16-byte item
+    compacted into a 2-word slot loses bits exactly when its codes exceed
+    64 bits — rare where 8-byte-window speculation is not, because the
+    window sum concentrates with window size.  Flagged blocks are
+    re-encoded by the safe tree (api._patch_flagged), so this is a cost
+    policy, not a correctness gate.
+    """
+    if cap == sched[-1]:
+        return False
+    if (halve_to or _static_chunks(kmcl)) <= 1:
+        return False
+    return (cb.est_w16_frac is not None
+            and cb.est_w16_frac <= SPEC_PATCH_TOL)
+
+
 def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
-                           max_code_len: int, halve_to: int = 0):
+                           max_code_len: int, halve_to: int = 0,
+                           compact16: bool = False):
     """Pipelined host->device staging + per-chunk encode kernels.
 
     blocks/valid are HOST arrays; returns (device streams (nbb, cap//...),
@@ -255,7 +278,7 @@ def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
         dv = jnp.asarray(hv)
         parts.append(encode_blocks_pallas(
             db, dc, dl, dv, cap, max_code_len=max_code_len,
-            halve_to_chunks=halve_to))
+            halve_to_chunks=halve_to, compact16=compact16))
     streams = (jnp.concatenate([s for s, _ in parts])
                if len(parts) > 1 else parts[0][0])
     bits = np.concatenate([np.asarray(b) for _, b in parts])
@@ -381,11 +404,12 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
             # (down to 1 chunk) with per-block violation flags; flagged
             # blocks are re-encoded by the safe tree below
             halve_to = _spec_halve_to(cap, sched, kmcl, cb)
+            compact16 = _spec_compact16(cap, sched, kmcl, cb, halve_to)
             if blocks.shape[0] > CHUNK_BLOCKS:
                 # big input: chunked staging overlaps H2D with encode
                 streams, bits_raw = _encode_blocks_chunked(
                     blocks, valid, cb.codes, cb.lengths, cap, kmcl,
-                    halve_to)
+                    halve_to, compact16)
             else:
                 nb0 = blocks.shape[0]
                 nbb = _bucket_blocks(nb0)
@@ -396,7 +420,8 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
                     vv = jnp.pad(vv, (0, nbb - nb0))
                 streams, bits_dev = encode_blocks_pallas(
                     bb, jnp.asarray(cb.codes), jnp.asarray(cb.lengths),
-                    vv, cap, max_code_len=kmcl, halve_to_chunks=halve_to)
+                    vv, cap, max_code_len=kmcl, halve_to_chunks=halve_to,
+                    compact16=compact16)
                 bits_raw = np.asarray(bits_dev)
             bits_all = bits_raw & BITS_MASK
             # exact bit counts are capacity-independent: a speculative

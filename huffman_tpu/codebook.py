@@ -147,19 +147,22 @@ def canonical_codes(lengths: np.ndarray) -> np.ndarray:
 
 
 def _window_overflow_fracs(freqs: np.ndarray,
-                           lengths: np.ndarray) -> tuple[float, float]:
-    """(P[1 KiB block has a >32-bit 4B window], same for 8B windows).
+                           lengths: np.ndarray
+                           ) -> tuple[float, float, float]:
+    """(P[1 KiB block has a >32-bit 4B window], same for 8B windows,
+    P[block has a >64-bit 16B window]).
 
     Exact under byte-independence: the per-byte code-length pmf is
-    convolved to the 4- and 8-byte window sums (aligned windows, which is
-    what the merge tree's items are); a block has 256 (128) such windows.
-    Used to pick how far the speculative tree may narrow — see
-    ops/pallas/encode.encode_tree_chunks halve_to_chunks.
+    convolved to the 4-, 8- and 16-byte window sums (aligned windows,
+    which is what the merge tree's items are); a block has 256 (128, 64)
+    such windows.  Used to pick how far the speculative tree may narrow
+    — see ops/pallas/encode.encode_tree_chunks halve_to_chunks (4B/8B
+    windows) and compact16 (16B windows at 2-word slots).
     """
     f = np.asarray(freqs, dtype=np.float64)
     tot = f.sum()
     if tot <= 0:
-        return 0.0, 0.0
+        return 0.0, 0.0, 0.0
     pmf = np.zeros(int(lengths.max(initial=0)) + 1)
     np.add.at(pmf, np.asarray(lengths, np.int64), f / tot)
     w2 = np.convolve(pmf, pmf)
@@ -167,9 +170,12 @@ def _window_overflow_fracs(freqs: np.ndarray,
     p4 = float(w4[33:].sum())
     w8 = np.convolve(w4, w4)
     p8 = float(w8[33:].sum())
+    w16 = np.convolve(w8, w8)
+    p16 = float(w16[65:].sum())
     # the 1-chunk tree flags on BOTH its L2 (4B) and L3 (8B) halvings
     return (float(1 - (1 - p4) ** 256),
-            float(1 - (1 - p4) ** 256 * (1 - p8) ** 128))
+            float(1 - (1 - p4) ** 256 * (1 - p8) ** 128),
+            float(1 - (1 - p16) ** 64))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -198,6 +204,9 @@ class Codebook:
     # correctness input.  None when unknown.
     est_w4_frac: float | None = None
     est_w8_frac: float | None = None
+    # Same, for 16-byte windows exceeding 64 bits — the compact16
+    # speculative density level (4 bits/byte in 2-word slots).
+    est_w16_frac: float | None = None
 
     @staticmethod
     def from_frequencies(freqs: np.ndarray, max_code_len: int = 16) -> "Codebook":
@@ -207,10 +216,10 @@ class Codebook:
         codes = canonical_codes(lengths)
         cb = Codebook(codes=codes, lengths=lengths,
                       max_len=int(lengths.max(initial=0)))
-        w4, w8 = _window_overflow_fracs(freqs, lengths)
+        w4, w8, w16 = _window_overflow_fracs(freqs, lengths)
         return dataclasses.replace(
             cb, est_bpb=cb.expected_bits_per_byte(freqs),
-            est_w4_frac=w4, est_w8_frac=w8)
+            est_w4_frac=w4, est_w8_frac=w8, est_w16_frac=w16)
 
     @staticmethod
     def from_frequencies_auto(freqs: np.ndarray, max_code_len: int = 16,

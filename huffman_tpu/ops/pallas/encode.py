@@ -30,7 +30,8 @@ here: (NB, capacity_words) u32 plus per-block bit counts (outidx,
 vlc_kernel_sm64huff.cu:119-122).
 
 Constraint: max_code_len <= 16 (config default); the packed LUT entry is
-code*32+len < 2^21.  The api layer falls back to the XLA path otherwise.
+(code << (32-len)) | len with disjoint fields.  The api layer falls back
+to the XLA path otherwise.
 """
 
 from __future__ import annotations
@@ -187,6 +188,70 @@ def merge_level_v2(vals, alenc, n_items: int, S: int, it, max_code_len: int,
     return new_vals, new_alenc
 
 
+def _merge_compact16(vals, alenc, n_items: int, S: int, it):
+    """Fused doubling merge + SPECULATIVE re-space: 8-byte items at
+    spacing S (in {2, 4}) -> 16-byte items at spacing 2, i.e. 4 bits/byte
+    density, halving (or quartering) the tree width for every later level.
+
+    A 16-byte item whose merged bit length exceeds 64 loses bits in the
+    2-word slot; every such item is detected EXACTLY (lengths are pure
+    adds) and returned as a per-lane violation mask, the same contract as
+    the halve_to_chunks speculation — the caller re-encodes flagged
+    blocks with the safe tree.  Crucially the 4 bpb density is PRESERVED
+    by all later merges with no further flags: a 2^k-byte item merged
+    from two unflagged 2^(k-1)-byte items holds <= 2 * 2^(k-2) words =
+    its own spacing.  Violations at 16-byte windows are rare where
+    8-byte-window speculation (halve_to_chunks=1) is not: the window sum
+    concentrates with size (codebook.est_w16_frac estimates the rate).
+
+    vals: chunk list at 8-byte items, spacing S; alenc: ONE compact chunk
+    (n_items <= 128 by construction: 128 8-byte items per 1 KiB block).
+    Returns (vals', alenc', viol) with vals' = len(vals)//S chunks at
+    spacing 2.
+    """
+    if n_items != 128 or len(alenc) != 1 or S not in (2, 4):
+        raise ValueError("merge-compact expects 128 8-byte items at "
+                         "spacing 2 or 4")
+    n_out = n_items // 2                       # 64 items, 128 dest lanes
+    a_c = _even_odd(alenc, 0, 1, it)[0]
+    b_c = _even_odd(alenc, 1, 1, it)[0]
+    new_alenc = [a_c + b_c]
+    viol = (a_c + b_c > 64) & (it < n_out)     # lanes >= n_out: garbage
+    n = len(vals)
+    out_chunks = n // S * 2 // 2               # n_out*2 lanes / 128
+    new_vals = []
+    for d in range(out_chunks):
+        lane_g = it + 128 * d
+        i = lane_g >> 1                        # dest item, static
+        j = lane_g & 1                         # dest word, static
+        a_len = jnp.take_along_axis(a_c, i & 127, axis=1)
+        w = a_len >> 5                         # <= 2 unflagged
+        sh = a_len & 31
+        # a's word j: src = 2*i*S + j, static -> static chunk selects
+        src_a = 2 * i * S + j
+        a_w = jnp.zeros_like(vals[0])
+        for c2 in range(d * S, min((d + 1) * S, n)):
+            g = jnp.take_along_axis(vals[c2], src_a & 127, axis=1)
+            a_w = jnp.where((src_a >> 7) == c2, g, a_w)
+        # b's word (j - w): src_b = src_a + S - w, dynamic via w
+        src_b = src_a + S - w
+        c_lo = d * S
+        c_hi = min((d + 1) * S, n - 1)
+        braw = jnp.zeros_like(vals[0])
+        for c2 in range(c_lo, c_hi + 1):
+            g = jnp.take_along_axis(vals[c2],
+                                    jnp.clip(src_b - 128 * c2, 0, 127),
+                                    axis=1)
+            braw = jnp.where((src_b >> 7) == c2, g, braw)
+        brm = jnp.where(j >= w, braw, _U32(0))
+        # b's word (j-1-w) == brm one lane earlier (j=0 starts a pair,
+        # so no cross-chunk carry: lane 0 always has j == 0)
+        bp = jnp.where(j == 0, _U32(0), jnp.roll(brm, 1, axis=1))
+        bsh = _shr_u(brm, sh) | _shl_u(_shl_u(bp, 31 - sh), _U32(1))
+        new_vals.append(a_w | bsh)
+    return new_vals, new_alenc, viol
+
+
 def _expand_lens(alenc, S: int, it, n_chunks: int):
     """Compact per-item lens -> v1 per-lane lens (item total at every lane
     of the item's span), for the public encode_tree_chunks contract."""
@@ -201,7 +266,8 @@ def _expand_lens(alenc, S: int, it, n_chunks: int):
 def encode_tree_chunks(word_chunks, table_lanes, valid_col,
                        stop_level: int = 10, max_code_len: int = 16,
                        capture_l2: bool = False, cap_chunks: int = 0,
-                       halve_to_chunks: int = 0, no_halve: bool = False):
+                       halve_to_chunks: int = 0, no_halve: bool = False,
+                       compact16: bool = False):
     """Chunkwise encode of T blocks -> (chunks of (T,128) u32, lens).
 
     word_chunks: 2 chunks of (T, 128) uint32 — the block's 1024 bytes as
@@ -243,6 +309,12 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
     flow).  Mutually exclusive with capture_l2.  Return value becomes
     (vals, lens, viol) with viol a (T, 128) bool mask (any-lane-true per
     row == block needs the safe re-encode).
+    compact16: SPECULATIVE density compaction — when the 8-byte-item
+    level is wider than one chunk, run a fused merge+re-space to 16-byte
+    items in a 2-word slot (4 bits/byte density, _merge_compact16): every
+    later level then runs at ONE chunk instead of 2 (mcl <= 8 trees) or
+    4 (mcl <= 16).  Flags into the same exact violation mask as
+    halve_to_chunks and implies the 3-tuple return value.
     """
     t = word_chunks[0].shape[0]
     it = _iota128(t)
@@ -267,11 +339,13 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
             p = jnp.where(s < 128, g0, g1)
             bpos = 4 * (it + 128 * c) + k          # static byte index
             # one mask does all the work: invalid bytes zero the packed
-            # entry, so ln == 0 and v == code << 0 == 0 (a valid byte's
-            # symbol occurs in the stream, hence ln >= 1 from the table)
+            # entry, so ln == 0 and v == 0 (a valid byte's symbol occurs
+            # in the stream, hence ln >= 1 from the table)
             p = jnp.where(bpos < valid_col, p, 0)
             ln = p & 31
-            v = _shl_u((p >> 5).astype(_U32), (32 - ln) & 31)
+            # entry = (code << (32-len)) | len with len <= 16: the value
+            # is the top 16 bits, already left-aligned (pack_table)
+            v = p.astype(_U32) & _U32(0xFFFF0000)
             v4.append(v)
             l4.append(ln)
         # L1: byte pairs (4j, 4j+1) and (4j+2, 4j+3) — elementwise
@@ -340,8 +414,17 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
                 viol = v if viol is None else (viol | v)
         n_items //= 2
         item_bytes *= 2
-    # standard doubling merges
+    # standard doubling merges (with the optional fused merge-compact at
+    # the 8 -> 16 byte level)
     while n_items > n_stop:
+        if (compact16 and item_bytes == 8 and len(vals) > 1
+                and n_items == 128 and S in (2, 4) and n_stop < 64):
+            vals, alenc, v = _merge_compact16(vals, alenc, n_items, S, it)
+            viol = v if viol is None else (viol | v)
+            n_items //= 2
+            item_bytes = 16
+            S = 2
+            continue
         oc = (min(cap_chunks, len(vals))
               if cap_chunks and n_items == 2 * n_stop else 0)
         vals, alenc = merge_level_v2(vals, alenc, n_items, S, it,
@@ -354,7 +437,7 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
     lens = _expand_lens(alenc, max(S, 1), it, len(vals))
     if capture_l2:
         return vals, lens, l2
-    if halve_to_chunks:
+    if halve_to_chunks or compact16:
         if viol is None:    # tree was statically narrow enough already
             viol = jnp.zeros_like(it) > 0
         return vals, lens, viol
@@ -386,25 +469,26 @@ def encode_tree_body(sym, table_lanes, valid_col):
 
 def _encode_kernel(table_ref, valid_ref, words_ref, out_ref, bits_ref,
                    *, cap_words: int, max_code_len: int,
-                   halve_to: int = 0):
+                   halve_to: int = 0, compact16: bool = False):
     word_chunks = [words_ref[:, :128], words_ref[:, 128:256]]
-    if halve_to:
+    if halve_to or compact16:
         vals, lens, viol = encode_tree_chunks(
             word_chunks, table_ref[:], valid_ref[:, 0:1],
             max_code_len=max_code_len, cap_chunks=-(-cap_words // 128),
-            halve_to_chunks=halve_to)
+            halve_to_chunks=halve_to, compact16=compact16)
     else:
         vals, lens = encode_tree_chunks(word_chunks, table_ref[:],
                                         valid_ref[:, 0:1],
                                         max_code_len=max_code_len,
                                         cap_chunks=-(-cap_words // 128))
-    stream = jnp.concatenate(vals, axis=1)
+        viol = None
+    stream = jnp.concatenate(vals, axis=1) if len(vals) > 1 else vals[0]
     if stream.shape[1] < cap_words:       # compact tree narrower than cap
         stream = jnp.pad(stream,
                          ((0, 0), (0, cap_words - stream.shape[1])))
     out_ref[:] = stream[:, :cap_words]
     bitsv = lens[0][:, 0:1]
-    if halve_to:
+    if viol is not None:
         # per-block violation flag rides in bit 30 of the bits output
         # (block bits <= 16384 use 15 bits; callers mask with BITS_MASK)
         f = jnp.max(viol.astype(jnp.int32), axis=1, keepdims=True)
@@ -413,12 +497,21 @@ def _encode_kernel(table_ref, valid_ref, words_ref, out_ref, bits_ref,
 
 
 def pack_table(codes, lengths) -> "jax.Array":
-    """(256,) codes/lengths -> (8, 128) int32 packed code*32+len.
+    """(256,) codes/lengths -> (8, 128) int32 packed LUT.
 
-    Rows 0-1 hold entries 0..127 / 128..255; rows 2-7 pad to the minimum
-    (8, 128) int32 tile.
+    Entry = (code << (32 - len)) | len: the LEFT-ALIGNED codeword in the
+    top `len` <= 16 bits plus the length in the low 5 bits, so the encode
+    head unpacks with two ANDs (v = entry & 0xFFFF0000, ln = entry & 31)
+    instead of a shift chain — the reference caches the same two numbers
+    per symbol in shared memory (vlc_kernel_sm64huff.cu:56-63).  Absent
+    symbols (len 0) are all-zero entries.  Rows 0-1 hold entries
+    0..127 / 128..255; rows 2-7 pad to the minimum (8, 128) int32 tile.
     """
-    packed = (codes.astype(jnp.int32) << 5) | lengths.astype(jnp.int32)
+    ln = lengths.astype(jnp.uint32)
+    packed = jnp.where(ln > 0,
+                       (codes.astype(jnp.uint32) << ((32 - ln) & 31)) | ln,
+                       0)
+    packed = jax.lax.bitcast_convert_type(packed, jnp.int32)
     return jnp.concatenate([packed.reshape(2, 128),
                             jnp.zeros((6, 128), jnp.int32)], axis=0)
 
@@ -429,12 +522,13 @@ BITS_MASK = (1 << 30) - 1      # bits output: bit 30 = spec-tree violation
 @functools.partial(jax.jit,
                    static_argnames=("capacity_words", "block_tile",
                                     "interpret", "max_code_len",
-                                    "halve_to_chunks"))
+                                    "halve_to_chunks", "compact16"))
 def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          lengths: jax.Array, valid_bytes: jax.Array,
                          capacity_words: int, block_tile: int = 256,
                          interpret: bool = False, max_code_len: int = 16,
-                         halve_to_chunks: int = 0):
+                         halve_to_chunks: int = 0,
+                         compact16: bool = False):
     """Drop-in twin of ops.encode.encode_blocks on the Pallas path.
 
     byte_blocks: (NB, 1024) uint8, OR pre-packed (NB, 256) uint32
@@ -443,10 +537,11 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
     instead of paying a full read+write device pass for the repack
     (block_bytes must be 1024 on this path either way).
     Returns (packed (NB, capacity_words) u32, block_bits (NB,) i32).
-    With halve_to_chunks > 0 the merge tree runs speculatively narrow
-    (see encode_tree_chunks): block_bits stays exact, and bit 30 of each
-    entry flags a block whose stream is invalid and must be re-encoded
-    with the safe tree (mask with BITS_MASK for the count).
+    With halve_to_chunks > 0 and/or compact16 the merge tree runs
+    speculatively narrow (see encode_tree_chunks): block_bits stays
+    exact, and bit 30 of each entry flags a block whose stream is
+    invalid and must be re-encoded with the safe tree (mask with
+    BITS_MASK for the count).
     """
     nb, bb = byte_blocks.shape
     if byte_blocks.dtype == jnp.uint32:
@@ -471,7 +566,7 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
     out, bits = pl.pallas_call(
         functools.partial(_encode_kernel, cap_words=capacity_words,
                           max_code_len=max_code_len,
-                          halve_to=halve_to_chunks),
+                          halve_to=halve_to_chunks, compact16=compact16),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i: (0, 0),

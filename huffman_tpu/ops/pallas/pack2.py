@@ -188,24 +188,37 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
             nw = mx_ref[p0 + k]                        # live words
             dw = wb - tile_w0       # in [-(cap + align_b*cap), 1024)
 
-            strip = win[k * stride:(k + 1) * stride]   # (stride, 128)
             rot = (dw + 8192) & (TILE_WORDS - 1)
             rl = rot & 127
-            rr = rot >> 7
-            gs = max(stride, 2)     # Mosaic's lane gather rejects 1-row ops
-            if gs > stride:
-                strip = jnp.concatenate(
-                    [strip, jnp.zeros((gs - stride, 128), _U32)], axis=0)
-            a = jnp.take_along_axis(strip, (lane[:gs] - rl) & 127,
-                                    axis=1)
-            if gs < TILE_ROWS:
-                a = jnp.concatenate(
-                    [a, jnp.zeros((TILE_ROWS - gs, 128), _U32)],
-                    axis=0)
-            rows_idx = (row_i - rr - (lane < rl) + 2 * TILE_ROWS) \
-                & (TILE_ROWS - 1)
-            contrib = jnp.take_along_axis(a, rows_idx, axis=0)
-            live = (flat - dw).astype(_U32) < nw.astype(_U32)
+            widx = flat - dw        # block word index at each tile slot
+            live = widx.astype(_U32) < nw.astype(_U32)
+            if stride <= 2:
+                # FAST PATH (cap <= 256 words): a block's live words are
+                # <= stride*128, so its placement is the strip's rows
+                # lane-rotated by rl and broadcast — at output word f the
+                # needed block word w = f - dw satisfies w & 127 ==
+                # (lane - rl) & 127, and w >> 7 picks the strip row; the
+                # live mask kills everything else.  No 8-row gather.
+                strip = win[k * stride: k * stride + 2]   # gs = 2 rows
+                a = jnp.take_along_axis(strip, (lane[:2] - rl) & 127,
+                                        axis=1)
+                contrib = jnp.broadcast_to(a[0:1], (TILE_ROWS, 128))
+                if stride == 2:
+                    contrib = jnp.where(
+                        (widx >> 7) == 0, contrib,
+                        jnp.broadcast_to(a[1:2], (TILE_ROWS, 128)))
+            else:
+                strip = win[k * stride:(k + 1) * stride]   # (stride, 128)
+                rr = rot >> 7
+                a = jnp.take_along_axis(strip, (lane[:stride] - rl) & 127,
+                                        axis=1)
+                if stride < TILE_ROWS:
+                    a = jnp.concatenate(
+                        [a, jnp.zeros((TILE_ROWS - stride, 128), _U32)],
+                        axis=0)
+                rows_idx = (row_i - rr - (lane < rl) + 2 * TILE_ROWS) \
+                    & (TILE_ROWS - 1)
+                contrib = jnp.take_along_axis(a, rows_idx, axis=0)
             acc = acc | jnp.where(live, contrib, _U32(0))
         out_ref[j * TILE_ROWS:(j + 1) * TILE_ROWS] = acc
 

@@ -145,7 +145,8 @@ def encode_step(mesh: Mesh, capacity_words: int):
 @functools.lru_cache(maxsize=64)
 def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
                   max_code_len: int = 16, with_hist: bool = True,
-                  halve_to: int = 0, interpret: bool = False):
+                  halve_to: int = 0, interpret: bool = False,
+                  compact16: bool = False):
     """Sharded phase 1: block encode + shard scan base (+ psum histogram).
 
     On TPU the per-shard block encode is the Mosaic tree kernel
@@ -158,11 +159,11 @@ def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
     (ShardedCodec.encode always does by phase 1) would otherwise pay the
     full histogram pass again for an output they discard.
 
-    halve_to: speculative merge-tree width for the Mosaic kernel (see
-    encode_tree_chunks) — per-block violation flags ride in bit 30 of the
-    returned bits; the shard scan base always uses the MASKED counts,
-    which are exact regardless.  The builder is cached so repeated
-    ShardedCodec.encode calls reuse the jitted step.
+    halve_to / compact16: speculative merge-tree narrowing for the Mosaic
+    kernel (see encode_tree_chunks) — per-block violation flags ride in
+    bit 30 of the returned bits; the shard scan base always uses the
+    MASKED counts, which are exact regardless.  The builder is cached so
+    repeated ShardedCodec.encode calls reuse the jitted step.
     """
     cap = cdiv(capacity_words, 128) * 128 if use_pallas else capacity_words
     outs = (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
@@ -182,7 +183,7 @@ def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
             packed, bits = encode_blocks_pallas(
                 blocks_loc, codes, lengths, valid_loc, cap,
                 max_code_len=max_code_len, halve_to_chunks=halve_to,
-                interpret=interpret)
+                interpret=interpret, compact16=compact16)
             bc = bits & BITS_MASK
         else:
             packed, bits = encode_ops.encode_blocks(
@@ -396,7 +397,7 @@ class ShardedCodec:
         flag-bit blocks with the safe tree via a sharded row overlay.
         """
         from ..api import (Encoded, _cap_schedule, _kernel_mcl,
-                           _spec_halve_to)
+                           _spec_compact16, _spec_halve_to)
         if use_pallas is None:
             use_pallas = _use_pallas_default()
         cfg = self.cfg
@@ -415,9 +416,11 @@ class ShardedCodec:
             sched = _cap_schedule(cfg, kmcl, codebook.est_bpb)
             for cap_try in sched:
                 halve_to = _spec_halve_to(cap_try, sched, kmcl, codebook)
+                c16 = _spec_compact16(cap_try, sched, kmcl, codebook,
+                                      halve_to)
                 p1 = encode_phase1(self.mesh, cap_try, True, kmcl,
                                    with_hist=False, halve_to=halve_to,
-                                   interpret=interpret)
+                                   interpret=interpret, compact16=c16)
                 streams, bits_dev, shard_word, shard_shift = p1(
                     d_blocks, d_valid, d_codes, d_lens)
                 bits_raw = np.asarray(bits_dev)
