@@ -116,6 +116,27 @@ def test_spec_tree_patch(mosaic_on_cpu, rng):
     _check_vs_golden(data, enc)
 
 
+def test_chunked_multichunk_with_patch(mosaic_on_cpu, monkeypatch, rng):
+    """_encode_blocks_chunked across >2 chunks, speculation ON, with a
+    flagged block in a middle chunk: the concatenated bits_raw must keep
+    flag indices aligned across chunk boundaries and the patched stream
+    must stay bit-exact.  CHUNK_BLOCKS is monkeypatched small so the
+    suite exercises the same code path bench.py only hits at >16 MiB."""
+    monkeypatch.setattr(api, "CHUNK_BLOCKS", 8)
+    data = (rng.geometric(0.5, size=35 * 1024 + 123) % 32).astype(np.uint8)
+    # one >32-bit 8-byte window inside chunk 2 (block 17) -> spec-tree flag
+    data[17 * 1024 + 256: 17 * 1024 + 264] = np.arange(100, 108,
+                                                       dtype=np.uint8)
+    cfg = CodecConfig(narrow_tol=0)
+    cb = api.build_codebook(data, cfg, use_device=False)
+    enc = api.encode(data, cfg, codebook=cb)
+    # 36 blocks -> 5 chunks of 8 at the spec cap, then the patch re-encode
+    assert mosaic_on_cpu["encode"][:5] == [128] * 5
+    assert len(mosaic_on_cpu["encode"]) == 6    # exactly one patch pass
+    assert mosaic_on_cpu["pack"] == [128]
+    _check_vs_golden(data, enc)
+
+
 def test_spec_retry(mosaic_on_cpu, rng):
     # mostly-skewed stream with one solid block of the rarest symbols:
     # global expectation clears the speculative gate, but that block's
