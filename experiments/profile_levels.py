@@ -47,16 +47,24 @@ def main():
     table = jax.device_put(pack_table(jnp.asarray(cb.codes),
                                       jnp.asarray(cb.lengths)))
     nb = blocks.shape[0]
-    t = 64
+    t = int(os.environ.get("HUFF_TILE", 64))
+    compact16 = bool(int(os.environ.get("HUFF_COMPACT16", 0)))
     grid = nb // t
 
     def make_stopped(stop_level):
         def kern(table_ref, valid_ref, words_ref, out_ref):
             word_chunks = [words_ref[:, :128], words_ref[:, 128:256]]
-            vals, lens = encode_tree_chunks(word_chunks, table_ref[:],
-                                            valid_ref[:, 0:1],
-                                            stop_level=stop_level,
-                                            max_code_len=mcl)
+            if stop_level < 0:       # raw passthrough: harness overhead
+                out_ref[:] = (word_chunks[0] ^ word_chunks[1]
+                              ^ table_ref[7:8].astype(_U32)
+                              ^ valid_ref[:, 0:1].astype(_U32))
+                return
+            res = encode_tree_chunks(word_chunks, table_ref[:],
+                                     valid_ref[:, 0:1],
+                                     stop_level=stop_level,
+                                     max_code_len=mcl,
+                                     compact16=compact16)
+            vals, lens = res[0], res[1]
             acc = vals[0]
             for v in vals[1:]:
                 acc = acc ^ v
@@ -64,7 +72,7 @@ def main():
             out_ref[:] = acc
 
         @jax.jit
-        def run(valid_col, syms):
+        def run(valid_col, words, tab):
             return pl.pallas_call(
                 kern,
                 grid=(grid,),
@@ -80,24 +88,27 @@ def main():
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((nb, 128), _U32),
                 interpret=False,
-            )(table, valid_col, bytes_to_words(syms))
+            )(tab, valid_col, words)
         return run
 
     valid_col = jnp.broadcast_to(dv.astype(jnp.int32)[:, None], (nb, 128))
     valid_col = jax.device_put(valid_col)
+    dbw = jax.block_until_ready(jax.jit(bytes_to_words)(db))
 
     def slope(stop_level, reps=3):
         run = make_stopped(stop_level)
 
         # ONE compile per level: chain length is a traced fori_loop bound,
-        # so k=1 and k=1+reps reuse the same executable.
+        # so k=1 and k=1+reps reuse the same executable.  The chain rides
+        # through the 1 KiB table, not the input (an at[].set on the
+        # input costs a full-array copy per iteration).
         @jax.jit
         def chained(k):
             def body(_, carry):
-                s = db.at[0, 0].set(carry)
-                o = run(valid_col, s)
-                return o[0, 0].astype(jnp.uint8)
-            return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
+                tab = table.at[7, 0].set(carry)
+                o = run(valid_col, dbw, tab)
+                return o[0, 0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
         def r(k):
             t0 = time.perf_counter()

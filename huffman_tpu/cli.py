@@ -8,12 +8,16 @@ an on-disk container, and decode — the reference can only encode+verify in
 memory and discards the result.
 
 Usage:
-  python -m huffman_tpu encode FILE [-o OUT.htz] [--verify] [--block-bytes N]
-  python -m huffman_tpu decode FILE.htz [-o OUT]
+  python -m huffman_tpu encode FILE [-o OUT.htz] [--verify] [--mesh N|auto]
+  python -m huffman_tpu decode FILE.htz [-o OUT] [--mesh N|auto]
   python -m huffman_tpu roundtrip FILE...        # encode+decode+verify
-  python -m huffman_tpu bench FILE [--iters N]   # timing loop, GB/s
+  python -m huffman_tpu bench FILE [--iters N] [--mesh N|auto]
   python -m huffman_tpu info FILE.htz            # container header dump
   python -m huffman_tpu devices                  # device probe
+
+--format auto (the default) picks the wide container on TPU (fast device
+decode) and dense elsewhere; --verify/--mesh force dense.  --mesh routes
+through parallel.pipeline.ShardedCodec over a device mesh.
 """
 
 from __future__ import annotations
@@ -48,16 +52,52 @@ def _read(path: str) -> np.ndarray:
         return np.frombuffer(f.read(), dtype=np.uint8)
 
 
+def _resolve_format(fmt: str, verify: bool, mesh: str | None) -> str:
+    """'auto' picks the container by platform: wide on TPU (device decode
+    is ~1000x the dense XLA fallback — see api.decode NOTE), dense
+    elsewhere and for golden-exactness runs (--verify compares against
+    the CPU oracle's bit-concatenated stream) or sharded runs (--mesh
+    routes through the dense ShardedCodec)."""
+    if fmt != "auto":
+        return fmt
+    if verify or mesh:
+        return "dense"
+    try:
+        import jax
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "wide" if platform == "tpu" else "dense"
+
+
+def _mesh_codec(args, cfg):
+    """--mesh N|auto -> a ShardedCodec over the first N (or all) devices.
+
+    Makes the scale-out layer reachable from argv, like the reference
+    drives everything from main (reference: main_test_cu.cu:41-52)."""
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return None
+    from .parallel.mesh import make_mesh
+    from .parallel.pipeline import ShardedCodec
+    nd = None if spec == "auto" else int(spec)
+    return ShardedCodec(make_mesh(nd), cfg)
+
+
 def cmd_encode(args) -> int:
     cfg = _cfg(args)
     rc = 0
+    fmt = _resolve_format(args.format, args.verify, args.mesh)
+    sc = _mesh_codec(args, cfg)
     for path in args.files:
         data = _read(path)
         h = entropy_bits_per_byte(byte_histogram_host(data))
         with HostTimer() as t:
-            if args.format == "wide":
+            if fmt == "wide":
                 from . import wide
                 enc = wide.encode_wide(data, cfg)
+            elif sc is not None:
+                enc = sc.encode(data)
             else:
                 enc = api.encode(data, cfg)
         out = args.output or (path + ".htz")
@@ -66,7 +106,7 @@ def cmd_encode(args) -> int:
               f"(ratio {size / max(data.size, 1):.4f}) in {t.ms:.1f} ms "
               f"[{gb_per_s(data.size / 2**20, t.ms):.3f} GB/s inc. compile]")
         if args.verify:
-            if args.format == "wide":
+            if fmt == "wide":
                 from . import wide
                 ok = bool(np.array_equal(wide.decode_wide(enc), data))
                 print(f"  verify roundtrip: {'PASS' if ok else 'FAIL'}")
@@ -81,6 +121,7 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
+    sc = None
     for path in args.files:
         enc = container.load(path)
         with HostTimer() as t:
@@ -88,6 +129,9 @@ def cmd_decode(args) -> int:
             if isinstance(enc, WideEncoded):
                 from . import wide
                 data = wide.decode_wide(enc)
+            elif getattr(args, "mesh", None):
+                sc = sc or _mesh_codec(args, enc.config)
+                data = sc.decode(enc)
             else:
                 data = api.decode(enc)
         out = args.output or (path[:-4] if path.endswith(".htz")
@@ -132,7 +176,12 @@ def cmd_bench(args) -> int:
 
         # Time the SAME pipeline api.encode dispatches to (Mosaic kernels
         # on TPU, XLA elsewhere) — not unconditionally the XLA path.
-        if api._pallas_ok(cfg):
+        sc = _mesh_codec(args, cfg)
+        if sc is not None:
+            # sharded end-to-end wall (incl. the host plan sync), the
+            # product path `encode --mesh` runs
+            bench_fn = lambda: sc.encode(data, codebook=cb)  # noqa: E731
+        elif api._pallas_ok(cfg):
             bench_fn = lambda: api.encode_pipeline_pallas(  # noqa: E731
                 dev_blocks, codes, lens, valid, cfg.capacity_words)
         else:
@@ -183,6 +232,11 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="huffman_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def add_mesh(sp):
+        sp.add_argument("--mesh", default=None, metavar="N|auto",
+                        help="shard over the first N (or all) devices via "
+                        "ShardedCodec (dense format)")
+
     def add_common(sp, output=False):
         sp.add_argument("files", nargs="+")
         sp.add_argument("--block-bytes", type=int, default=None)
@@ -194,16 +248,21 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("encode", help="encode files to .htz containers")
     add_common(sp, output=True)
+    add_mesh(sp)
     sp.add_argument("--verify", action="store_true",
                     help="bit-exact check vs the CPU golden encoder")
-    sp.add_argument("--format", choices=("dense", "wide"), default="dense",
+    sp.add_argument("--format", choices=("auto", "dense", "wide"),
+                    default="auto",
                     help="dense: bit-concatenated stream (golden-exact); "
-                    "wide: interleaved format for fast vector decode")
+                    "wide: interleaved format for fast vector decode; "
+                    "auto (default): wide on TPU, dense elsewhere and "
+                    "for --verify/--mesh runs")
     sp.set_defaults(fn=cmd_encode)
 
     sp = sub.add_parser("decode", help="decode .htz containers")
     sp.add_argument("files", nargs="+")
     sp.add_argument("-o", "--output", default=None)
+    add_mesh(sp)
     sp.set_defaults(fn=cmd_decode)
 
     sp = sub.add_parser("roundtrip", help="encode+decode+verify, no output")
@@ -212,6 +271,7 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("bench", help="timing loop (median of N iters)")
     add_common(sp)
+    add_mesh(sp)
     sp.add_argument("--iters", type=int, default=10)
     sp.add_argument("--verify", action="store_true")
     sp.add_argument("--log-dir", default="bench_logs")
