@@ -158,9 +158,11 @@ def main() -> None:
         cap = sched[0]
         halve_to = api._spec_halve_to(cap, sched, kmcl, cb)
         compact16 = api._spec_compact16(cap, sched, kmcl, cb, halve_to)
+        trows = api._table_rows(cb)
         extra["cap_words"] = cap
         extra["tree_chunks"] = halve_to or api._static_chunks(kmcl)
         extra["compact16"] = compact16
+        extra["table_rows"] = trows
         extra["est_w4_frac"] = round(cb.est_w4_frac or 0, 5)
         extra["est_w8_frac"] = round(cb.est_w8_frac or 0, 5)
         extra["est_w16_frac"] = round(cb.est_w16_frac or 0, 5)
@@ -178,7 +180,8 @@ def main() -> None:
                     dcc = dc.at[255].set(carry)
                     out, bits = encode_blocks_pallas(
                         a_db, dcc, dl, a_dv, cap, max_code_len=kmcl,
-                        halve_to_chunks=halve_to, compact16=compact16)
+                        halve_to_chunks=halve_to, compact16=compact16,
+                        table_rows=trows)
                     return out[0, 0] ^ bits[0].astype(jnp.uint32)
                 return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
             return fn, (dbw, dv)
@@ -187,7 +190,8 @@ def main() -> None:
         progress("one-shot encode for pack staging")
         streams, bits_dev = jax.block_until_ready(encode_blocks_pallas(
             dbw, dc, dl, dv, cap, max_code_len=kmcl,
-            halve_to_chunks=halve_to, compact16=compact16))
+            halve_to_chunks=halve_to, compact16=compact16,
+            table_rows=trows))
         from huffman_tpu.ops.pallas.encode import BITS_MASK
         bits_raw = np.asarray(bits_dev)
         extra["spec_patched_blocks"] = int(np.count_nonzero(bits_raw >> 30))
@@ -228,7 +232,8 @@ def main() -> None:
                     def body(_, carry):
                         dcc = dc8.at[255].set(carry)
                         out, bits = encode_blocks_pallas(
-                            a_db, dcc, dl8, a_dv, 256, max_code_len=8)
+                            a_db, dcc, dl8, a_dv, 256, max_code_len=8,
+                            table_rows=trows)
                         return out[0, 0] ^ bits[0].astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
                 return fn, (dbw, dv)
@@ -389,7 +394,7 @@ def main() -> None:
             # against the bare encode kernel is apples-to-apples
             p1 = encode_phase1(mesh, cap, True, kmcl,
                                with_hist=False, halve_to=halve_to,
-                               compact16=compact16)
+                               compact16=compact16, table_rows=trows)
             _s1, bits1, _w1, _sh1 = jax.block_until_ready(
                 p1(d_b, d_v, dc, dl))
             extra["sharded_total_bits_ok"] = bool(

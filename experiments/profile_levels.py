@@ -56,7 +56,7 @@ def main():
             word_chunks = [words_ref[:, :128], words_ref[:, 128:256]]
             if stop_level < 0:       # raw passthrough: harness overhead
                 out_ref[:] = (word_chunks[0] ^ word_chunks[1]
-                              ^ table_ref[7:8].astype(_U32)
+                              ^ table_ref[0:1].astype(_U32)
                               ^ valid_ref[:, 0:1].astype(_U32))
                 return
             res = encode_tree_chunks(word_chunks, table_ref[:],
@@ -95,7 +95,7 @@ def main():
     valid_col = jax.device_put(valid_col)
     dbw = jax.block_until_ready(jax.jit(bytes_to_words)(db))
 
-    def slope(stop_level, reps=3):
+    def slope(stop_level, reps=int(os.environ.get("HUFF_REPS", 3))):
         run = make_stopped(stop_level)
 
         # ONE compile per level: chain length is a traced fori_loop bound,
@@ -105,7 +105,10 @@ def main():
         @jax.jit
         def chained(k):
             def body(_, carry):
-                tab = table.at[7, 0].set(carry)
+                # symbol 77 is absent from make_data streams, but row 0 is
+                # READ by the tree head — rows 2-7 are padding a chain
+                # through which XLA may legally hoist
+                tab = table.at[0, 77].set((carry & 3) + 4)
                 o = run(valid_col, dbw, tab)
                 return o[0, 0].astype(jnp.int32)
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))

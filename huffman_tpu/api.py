@@ -168,6 +168,17 @@ def _kernel_mcl(cb: Codebook) -> int:
     return 16
 
 
+def _table_rows(cb: Codebook) -> int:
+    """1 when every CODED symbol value is < 128: the encode head then
+    needs one L0 lane gather per byte instead of two plus a select (see
+    ops/pallas/encode.encode_tree_chunks table_rows).  The reference's
+    own fixture regime (32 distinct byte values, data/test1024_*.in) and
+    most text/tokenized streams qualify.  Encoding bytes that have no
+    code is unspecified on every path (golden included), so the
+    specialization never changes defined behavior."""
+    return 1 if not cb.lengths[128:].any() else 2
+
+
 def _cap_schedule(cfg: CodecConfig, kmcl: int,
                   est_bpb: float | None) -> list[int]:
     """Capacity buckets (words) to try, narrowest first.
@@ -252,7 +263,7 @@ def _spec_compact16(cap: int, sched: list[int], kmcl: int,
 
 def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
                            max_code_len: int, halve_to: int = 0,
-                           compact16: bool = False):
+                           compact16: bool = False, table_rows: int = 2):
     """Pipelined host->device staging + per-chunk encode kernels.
 
     blocks/valid are HOST arrays; returns (device streams (nbb, cap//...),
@@ -278,7 +289,8 @@ def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
         dv = jnp.asarray(hv)
         parts.append(encode_blocks_pallas(
             db, dc, dl, dv, cap, max_code_len=max_code_len,
-            halve_to_chunks=halve_to, compact16=compact16))
+            halve_to_chunks=halve_to, compact16=compact16,
+            table_rows=table_rows))
     streams = (jnp.concatenate([s for s, _ in parts])
                if len(parts) > 1 else parts[0][0])
     bits = np.concatenate([np.asarray(b) for _, b in parts])
@@ -316,7 +328,7 @@ def _patch_flagged(streams, blocks, valid, cb: Codebook, cap: int,
     fixed, _ = encode_blocks_pallas(
         jnp.asarray(_host_words(blocks[idxp])), jnp.asarray(cb.codes),
         jnp.asarray(cb.lengths), jnp.asarray(valid[idxp]), cap,
-        max_code_len=kmcl)
+        max_code_len=kmcl, table_rows=_table_rows(cb))
     return _overlay_rows(streams, fixed, jnp.asarray(idxp))
 
 
@@ -399,6 +411,7 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
         from .ops.pallas.encode import BITS_MASK, encode_blocks_pallas
         from .ops.pallas.pack2 import pack_dense_parallel
         sched = _cap_schedule(cfg, kmcl, cb.est_bpb)
+        trows = _table_rows(cb)
         for cap in sched:
             # speculative bucket: also run the merge tree itself narrow
             # (down to 1 chunk) with per-block violation flags; flagged
@@ -409,7 +422,7 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
                 # big input: chunked staging overlaps H2D with encode
                 streams, bits_raw = _encode_blocks_chunked(
                     blocks, valid, cb.codes, cb.lengths, cap, kmcl,
-                    halve_to, compact16)
+                    halve_to, compact16, trows)
             else:
                 nb0 = blocks.shape[0]
                 nbb = _bucket_blocks(nb0)
@@ -421,7 +434,7 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
                 streams, bits_dev = encode_blocks_pallas(
                     bb, jnp.asarray(cb.codes), jnp.asarray(cb.lengths),
                     vv, cap, max_code_len=kmcl, halve_to_chunks=halve_to,
-                    compact16=compact16)
+                    compact16=compact16, table_rows=trows)
                 bits_raw = np.asarray(bits_dev)
             bits_all = bits_raw & BITS_MASK
             # exact bit counts are capacity-independent: a speculative

@@ -267,7 +267,7 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
                        stop_level: int = 10, max_code_len: int = 16,
                        capture_l2: bool = False, cap_chunks: int = 0,
                        halve_to_chunks: int = 0, no_halve: bool = False,
-                       compact16: bool = False):
+                       compact16: bool = False, table_rows: int = 2):
     """Chunkwise encode of T blocks -> (chunks of (T,128) u32, lens).
 
     word_chunks: 2 chunks of (T, 128) uint32 — the block's 1024 bytes as
@@ -315,6 +315,11 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
     later level then runs at ONE chunk instead of 2 (mcl <= 8 trees) or
     4 (mcl <= 16).  Flags into the same exact violation mask as
     halve_to_chunks and implies the 3-tuple return value.
+    table_rows: 1 when every CODED symbol value is < 128 (e.g. the
+    reference's 32-symbol fixture regime, data/test1024_*.in) — the L0
+    lookup then needs one lane gather per byte instead of two plus a
+    select.  Bytes without a code never occur in well-formed input
+    (encoding them is unspecified on every path, golden included).
     """
     t = word_chunks[0].shape[0]
     it = _iota128(t)
@@ -334,9 +339,12 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
         for k in range(4):
             s = ((w >> _U32(8 * k)) & _U32(255)).astype(jnp.int32)
             lo = s & 127
-            g0 = jnp.take_along_axis(t0, lo, axis=1)
-            g1 = jnp.take_along_axis(t1, lo, axis=1)
-            p = jnp.where(s < 128, g0, g1)
+            if table_rows == 1:
+                p = jnp.take_along_axis(t0, lo, axis=1)
+            else:
+                g0 = jnp.take_along_axis(t0, lo, axis=1)
+                g1 = jnp.take_along_axis(t1, lo, axis=1)
+                p = jnp.where(s < 128, g0, g1)
             bpos = 4 * (it + 128 * c) + k          # static byte index
             # one mask does all the work: invalid bytes zero the packed
             # entry, so ln == 0 and v == 0 (a valid byte's symbol occurs
@@ -469,18 +477,21 @@ def encode_tree_body(sym, table_lanes, valid_col):
 
 def _encode_kernel(table_ref, valid_ref, words_ref, out_ref, bits_ref,
                    *, cap_words: int, max_code_len: int,
-                   halve_to: int = 0, compact16: bool = False):
+                   halve_to: int = 0, compact16: bool = False,
+                   table_rows: int = 2):
     word_chunks = [words_ref[:, :128], words_ref[:, 128:256]]
     if halve_to or compact16:
         vals, lens, viol = encode_tree_chunks(
             word_chunks, table_ref[:], valid_ref[:, 0:1],
             max_code_len=max_code_len, cap_chunks=-(-cap_words // 128),
-            halve_to_chunks=halve_to, compact16=compact16)
+            halve_to_chunks=halve_to, compact16=compact16,
+            table_rows=table_rows)
     else:
         vals, lens = encode_tree_chunks(word_chunks, table_ref[:],
                                         valid_ref[:, 0:1],
                                         max_code_len=max_code_len,
-                                        cap_chunks=-(-cap_words // 128))
+                                        cap_chunks=-(-cap_words // 128),
+                                        table_rows=table_rows)
         viol = None
     stream = jnp.concatenate(vals, axis=1) if len(vals) > 1 else vals[0]
     if stream.shape[1] < cap_words:       # compact tree narrower than cap
@@ -522,13 +533,14 @@ BITS_MASK = (1 << 30) - 1      # bits output: bit 30 = spec-tree violation
 @functools.partial(jax.jit,
                    static_argnames=("capacity_words", "block_tile",
                                     "interpret", "max_code_len",
-                                    "halve_to_chunks", "compact16"))
+                                    "halve_to_chunks", "compact16",
+                                    "table_rows"))
 def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          lengths: jax.Array, valid_bytes: jax.Array,
                          capacity_words: int, block_tile: int = 256,
                          interpret: bool = False, max_code_len: int = 16,
                          halve_to_chunks: int = 0,
-                         compact16: bool = False):
+                         compact16: bool = False, table_rows: int = 2):
     """Drop-in twin of ops.encode.encode_blocks on the Pallas path.
 
     byte_blocks: (NB, 1024) uint8, OR pre-packed (NB, 256) uint32
@@ -566,7 +578,8 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
     out, bits = pl.pallas_call(
         functools.partial(_encode_kernel, cap_words=capacity_words,
                           max_code_len=max_code_len,
-                          halve_to=halve_to_chunks, compact16=compact16),
+                          halve_to=halve_to_chunks, compact16=compact16,
+                          table_rows=table_rows),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i: (0, 0),

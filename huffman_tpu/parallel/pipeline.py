@@ -146,7 +146,7 @@ def encode_step(mesh: Mesh, capacity_words: int):
 def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
                   max_code_len: int = 16, with_hist: bool = True,
                   halve_to: int = 0, interpret: bool = False,
-                  compact16: bool = False):
+                  compact16: bool = False, table_rows: int = 2):
     """Sharded phase 1: block encode + shard scan base (+ psum histogram).
 
     On TPU the per-shard block encode is the Mosaic tree kernel
@@ -183,7 +183,8 @@ def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
             packed, bits = encode_blocks_pallas(
                 blocks_loc, codes, lengths, valid_loc, cap,
                 max_code_len=max_code_len, halve_to_chunks=halve_to,
-                interpret=interpret, compact16=compact16)
+                interpret=interpret, compact16=compact16,
+                table_rows=table_rows)
             bc = bits & BITS_MASK
         else:
             packed, bits = encode_ops.encode_blocks(
@@ -356,10 +357,12 @@ class ShardedCodec:
             npad *= 2
         idxp = np.concatenate(
             [flagged, np.repeat(flagged[:1], npad - flagged.size)])
+        from ..api import _table_rows
         fixed, _ = encode_blocks_pallas(
             jnp.asarray(_host_words(blocks[idxp])), jnp.asarray(cb.codes),
             jnp.asarray(cb.lengths), jnp.asarray(valid[idxp]), cap,
-            max_code_len=kmcl, interpret=interpret)
+            max_code_len=kmcl, interpret=interpret,
+            table_rows=_table_rows(cb))
         fixed = np.asarray(fixed)[: flagged.size]
         fix_all = np.zeros((ndev, nfix, cap), np.uint32)
         idx_all = np.full((ndev, nfix), nb_loc, np.int32)
@@ -397,7 +400,7 @@ class ShardedCodec:
         flag-bit blocks with the safe tree via a sharded row overlay.
         """
         from ..api import (Encoded, _cap_schedule, _kernel_mcl,
-                           _spec_compact16, _spec_halve_to)
+                           _spec_compact16, _spec_halve_to, _table_rows)
         if use_pallas is None:
             use_pallas = _use_pallas_default()
         cfg = self.cfg
@@ -420,7 +423,8 @@ class ShardedCodec:
                                       halve_to)
                 p1 = encode_phase1(self.mesh, cap_try, True, kmcl,
                                    with_hist=False, halve_to=halve_to,
-                                   interpret=interpret, compact16=c16)
+                                   interpret=interpret, compact16=c16,
+                                   table_rows=_table_rows(codebook))
                 streams, bits_dev, shard_word, shard_shift = p1(
                     d_blocks, d_valid, d_codes, d_lens)
                 bits_raw = np.asarray(bits_dev)

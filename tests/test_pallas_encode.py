@@ -90,6 +90,27 @@ def test_matches_xla_encode_blocks():
     assert np.array_equal(np.asarray(ref_packed), np.asarray(got_packed))
 
 
+@pytest.mark.parametrize("nsym,kwargs", [
+    (32, {}),
+    (96, {"compact16": True}),
+])
+def test_table_rows1_bit_exact(nsym, kwargs):
+    """All coded symbols < 128 -> the one-gather L0 head (table_rows=1)
+    must produce the identical stream."""
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, nsym, size=12 * 1024 + 55).astype(np.uint8)
+    cb, blocks, valid = _prep(data)
+    assert api._table_rows(cb) == 1
+    args = (jnp.asarray(blocks), jnp.asarray(cb.codes),
+            jnp.asarray(cb.lengths), jnp.asarray(valid))
+    ref = encode_blocks_pallas(*args, CFG.capacity_words, interpret=True,
+                               **kwargs)
+    got = encode_blocks_pallas(*args, CFG.capacity_words, interpret=True,
+                               table_rows=1, **kwargs)
+    assert np.array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    assert np.array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+
+
 @pytest.mark.parametrize("mcl,nsym,seed", [(8, 32, 11), (6, 20, 12),
                                            (4, 8, 13)])
 def test_compact_tree_bit_exact(mcl, nsym, seed):
