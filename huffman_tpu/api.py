@@ -263,7 +263,8 @@ def _spec_compact16(cap: int, sched: list[int], kmcl: int,
 
 def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
                            max_code_len: int, halve_to: int = 0,
-                           compact16: bool = False, table_rows: int = 2):
+                           compact16: bool = False, table_rows: int = 2,
+                           detect_missing: bool = False):
     """Pipelined host->device staging + per-chunk encode kernels.
 
     blocks/valid are HOST arrays; returns (device streams (nbb, cap//...),
@@ -290,7 +291,7 @@ def _encode_blocks_chunked(blocks, valid, codes, lengths, cap: int,
         parts.append(encode_blocks_pallas(
             db, dc, dl, dv, cap, max_code_len=max_code_len,
             halve_to_chunks=halve_to, compact16=compact16,
-            table_rows=table_rows))
+            table_rows=table_rows, detect_missing=detect_missing))
     streams = (jnp.concatenate([s for s, _ in parts])
                if len(parts) > 1 else parts[0][0])
     bits = np.concatenate([np.asarray(b) for _, b in parts])
@@ -362,16 +363,43 @@ def encode_pipeline_pallas(byte_blocks, codes, lengths, valid_bytes,
     return stream, bits_host[:nb]
 
 
+# Codebook-build sampling policy: above SAMPLE_MIN_BYTES the histogram
+# reads every SAMPLE_EVERY-th block only (contiguous 1 KiB rows, so the
+# HBM traffic drops with the compute).  The encode kernel then runs with
+# exact per-byte miss detection (bit 31 of the bits output) and
+# api.encode rebuilds from the full histogram if a symbol was seen only
+# outside the sample — the same speculate-and-patch shape as the
+# capacity/tree speculation.  The reference histograms ~1/4 of the file
+# BY ACCIDENT with no detection at all (hist.cu:98-102 units bug).
+SAMPLE_MIN_BYTES = 32 * 1024 * 1024
+SAMPLE_EVERY = 16
+
+
 def build_codebook(data, cfg: CodecConfig = DEFAULT_CONFIG,
-                   use_device: bool = True) -> Codebook:
+                   use_device: bool = True,
+                   sample_every: int = 1) -> Codebook:
     """Histogram (on device by default) + host-side canonical codebook.
 
     Applies the cfg.narrow_tol speed/size policy: a cap-8/cap-4 codebook
     is preferred when its expected size cost is within tolerance, because
     the Mosaic encode tree is ~2x faster under the narrower static bound.
+    sample_every: histogram every k-th block only (see SAMPLE_EVERY);
+    the result may lack codes for symbols outside the sample — callers
+    must encode with detect_missing (api.encode does) or pass 1 (exact).
     """
-    if use_device:
-        blocks, n = _as_blocks(data, cfg)
+    blocks, n = _as_blocks(data, cfg)
+    if sample_every > 1:
+        valid = valid_per_block(n, blocks.shape[0], cfg.block_bytes)
+        sub = blocks[::sample_every]
+        # only the overall-last block can be partial, and slicing keeps
+        # it last — so the sampled valid bytes are a prefix of sub
+        nv = int(valid[::sample_every].astype(np.int64).sum())
+        if use_device:
+            freqs = np.asarray(hist_ops.histogram(jnp.asarray(sub), nv))
+        else:
+            from .codebook import byte_histogram_host
+            freqs = byte_histogram_host(sub.reshape(-1)[:nv])
+    elif use_device:
         freqs = np.asarray(hist_ops.histogram(jnp.asarray(blocks), n))
     else:
         from .codebook import byte_histogram_host
@@ -401,54 +429,75 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
         arr = (np.frombuffer(data, dtype=np.uint8)
                if isinstance(data, (bytes, bytearray)) else np.asarray(data))
         codebook = model.codebook_for(arr)
-    cb = codebook or build_codebook(data, cfg)
+    # Sampled codebook build (see SAMPLE_MIN_BYTES): the encode below
+    # then runs with exact in-kernel miss detection and rebuilds from the
+    # full histogram if some symbol was seen only outside the sample.
+    sampled = (codebook is None and model is None
+               and _pallas_ok(cfg) and n >= SAMPLE_MIN_BYTES)
+    cb = codebook or build_codebook(
+        data, cfg, sample_every=SAMPLE_EVERY if sampled else 1)
     if codebook is not None and np.any(
             (cb.lengths[np.unique(blocks.reshape(-1)[:n])] == 0)):
         raise ValueError("input contains symbols absent from the codebook")
     valid = valid_per_block(n, blocks.shape[0], cfg.block_bytes)
     if _pallas_ok(cfg):
-        kmcl = _kernel_mcl(cb)
         from .ops.pallas.encode import BITS_MASK, encode_blocks_pallas
         from .ops.pallas.pack2 import pack_dense_parallel
-        sched = _cap_schedule(cfg, kmcl, cb.est_bpb)
-        trows = _table_rows(cb)
-        for cap in sched:
-            # speculative bucket: also run the merge tree itself narrow
-            # (down to 1 chunk) with per-block violation flags; flagged
-            # blocks are re-encoded by the safe tree below
-            halve_to = _spec_halve_to(cap, sched, kmcl, cb)
-            compact16 = _spec_compact16(cap, sched, kmcl, cb, halve_to)
-            if blocks.shape[0] > CHUNK_BLOCKS:
-                # big input: chunked staging overlaps H2D with encode
-                streams, bits_raw = _encode_blocks_chunked(
-                    blocks, valid, cb.codes, cb.lengths, cap, kmcl,
-                    halve_to, compact16, trows)
-            else:
-                nb0 = blocks.shape[0]
-                nbb = _bucket_blocks(nb0)
-                bb = jnp.asarray(_host_words(blocks))
-                vv = jnp.asarray(valid)
-                if nbb != nb0:
-                    bb = jnp.pad(bb, ((0, nbb - nb0), (0, 0)))
-                    vv = jnp.pad(vv, (0, nbb - nb0))
-                streams, bits_dev = encode_blocks_pallas(
-                    bb, jnp.asarray(cb.codes), jnp.asarray(cb.lengths),
-                    vv, cap, max_code_len=kmcl, halve_to_chunks=halve_to,
-                    compact16=compact16, table_rows=trows)
-                bits_raw = np.asarray(bits_dev)
-            bits_all = bits_raw & BITS_MASK
-            # exact bit counts are capacity-independent: a speculative
-            # capacity that truncated some block is detected here and the
-            # safe bucket re-runs; the final bucket packs regardless (the
-            # cfg-level overflow check below owns that failure mode)
-            if (int(bits_all.max(initial=0)) <= cap * 32
-                    or cap == sched[-1]):
-                flagged = np.nonzero(bits_raw >> 30)[0]
-                if flagged.size:
-                    streams = _patch_flagged(streams, blocks, valid, cb,
-                                             cap, kmcl, flagged)
-                stream = pack_dense_parallel(streams, bits_all)
-                block_bits = bits_all[: blocks.shape[0]]
+        while True:
+            kmcl = _kernel_mcl(cb)
+            sched = _cap_schedule(cfg, kmcl, cb.est_bpb)
+            trows = _table_rows(cb)
+            rebuild = False
+            for cap in sched:
+                # speculative bucket: also run the merge tree itself
+                # narrow (down to 1 chunk) with per-block violation
+                # flags; flagged blocks are re-encoded by the safe tree
+                halve_to = _spec_halve_to(cap, sched, kmcl, cb)
+                compact16 = _spec_compact16(cap, sched, kmcl, cb, halve_to)
+                if blocks.shape[0] > CHUNK_BLOCKS:
+                    # big input: chunked staging overlaps H2D with encode
+                    streams, bits_raw = _encode_blocks_chunked(
+                        blocks, valid, cb.codes, cb.lengths, cap, kmcl,
+                        halve_to, compact16, trows,
+                        detect_missing=sampled)
+                else:
+                    nb0 = blocks.shape[0]
+                    nbb = _bucket_blocks(nb0)
+                    bb = jnp.asarray(_host_words(blocks))
+                    vv = jnp.asarray(valid)
+                    if nbb != nb0:
+                        bb = jnp.pad(bb, ((0, nbb - nb0), (0, 0)))
+                        vv = jnp.pad(vv, (0, nbb - nb0))
+                    streams, bits_dev = encode_blocks_pallas(
+                        bb, jnp.asarray(cb.codes), jnp.asarray(cb.lengths),
+                        vv, cap, max_code_len=kmcl,
+                        halve_to_chunks=halve_to, compact16=compact16,
+                        table_rows=trows, detect_missing=sampled)
+                    bits_raw = np.asarray(bits_dev)
+                if sampled and ((bits_raw >> 31) & 1).any():
+                    # a valid byte had no code in the sampled codebook —
+                    # rebuild exactly and redo (rare: the symbol appeared
+                    # ONLY outside the sampled blocks)
+                    cb = build_codebook(data, cfg)
+                    sampled = False
+                    rebuild = True
+                    break
+                bits_all = bits_raw & BITS_MASK
+                # exact bit counts are capacity-independent: a
+                # speculative capacity that truncated some block is
+                # detected here and the safe bucket re-runs; the final
+                # bucket packs regardless (the cfg-level overflow check
+                # below owns that failure mode)
+                if (int(bits_all.max(initial=0)) <= cap * 32
+                        or cap == sched[-1]):
+                    flagged = np.nonzero((bits_raw >> 30) & 1)[0]
+                    if flagged.size:
+                        streams = _patch_flagged(streams, blocks, valid,
+                                                 cb, cap, kmcl, flagged)
+                    stream = pack_dense_parallel(streams, bits_all)
+                    block_bits = bits_all[: blocks.shape[0]]
+                    break
+            if not rebuild:
                 break
     else:
         stream, block_bits, _offsets = encode_pipeline(

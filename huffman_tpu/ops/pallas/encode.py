@@ -267,7 +267,8 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
                        stop_level: int = 10, max_code_len: int = 16,
                        capture_l2: bool = False, cap_chunks: int = 0,
                        halve_to_chunks: int = 0, no_halve: bool = False,
-                       compact16: bool = False, table_rows: int = 2):
+                       compact16: bool = False, table_rows: int = 2,
+                       detect_missing: bool = False):
     """Chunkwise encode of T blocks -> (chunks of (T,128) u32, lens).
 
     word_chunks: 2 chunks of (T, 128) uint32 — the block's 1024 bytes as
@@ -320,6 +321,12 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
     lookup then needs one lane gather per byte instead of two plus a
     select.  Bytes without a code never occur in well-formed input
     (encoding them is unspecified on every path, golden included).
+    detect_missing: return an extra trailing (T, 128) mask flagging any
+    VALID byte whose table entry is zero (no code).  The sampled-codebook
+    product path (api.build_codebook sample_every > 1) encodes
+    speculatively with a codebook built from a slice of the input; a
+    symbol seen only outside the sample is detected here EXACTLY and the
+    caller rebuilds from the full histogram.  ~3 cheap ALU per byte.
     """
     t = word_chunks[0].shape[0]
     it = _iota128(t)
@@ -333,6 +340,7 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
     t0 = jnp.broadcast_to(table_lanes[0:1, :], (t, 128))
     t1 = jnp.broadcast_to(table_lanes[1:2, :], (t, 128))
     vA, vB, lA, lB = [], [], [], []
+    missing = None
     for c, w in enumerate(word_chunks):
         w = w.astype(_U32)
         v4, l4 = [], []
@@ -346,6 +354,9 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
                 g1 = jnp.take_along_axis(t1, lo, axis=1)
                 p = jnp.where(s < 128, g0, g1)
             bpos = 4 * (it + 128 * c) + k          # static byte index
+            if detect_missing:
+                m = (p == 0) & (bpos < valid_col)
+                missing = m if missing is None else (missing | m)
             # one mask does all the work: invalid bytes zero the packed
             # entry, so ln == 0 and v == 0 (a valid byte's symbol occurs
             # in the stream, hence ln >= 1 from the table)
@@ -443,13 +454,16 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
         S *= 2
 
     lens = _expand_lens(alenc, max(S, 1), it, len(vals))
+    out = [vals, lens]
     if capture_l2:
-        return vals, lens, l2
-    if halve_to_chunks or compact16:
+        out.append(l2)
+    elif halve_to_chunks or compact16:
         if viol is None:    # tree was statically narrow enough already
             viol = jnp.zeros_like(it) > 0
-        return vals, lens, viol
-    return vals, lens
+        out.append(viol)
+    if detect_missing:
+        out.append(missing)
+    return tuple(out)
 
 
 def bytes_to_words(byte_blocks):
@@ -478,21 +492,16 @@ def encode_tree_body(sym, table_lanes, valid_col):
 def _encode_kernel(table_ref, valid_ref, words_ref, out_ref, bits_ref,
                    *, cap_words: int, max_code_len: int,
                    halve_to: int = 0, compact16: bool = False,
-                   table_rows: int = 2):
+                   table_rows: int = 2, detect_missing: bool = False):
     word_chunks = [words_ref[:, :128], words_ref[:, 128:256]]
-    if halve_to or compact16:
-        vals, lens, viol = encode_tree_chunks(
-            word_chunks, table_ref[:], valid_ref[:, 0:1],
-            max_code_len=max_code_len, cap_chunks=-(-cap_words // 128),
-            halve_to_chunks=halve_to, compact16=compact16,
-            table_rows=table_rows)
-    else:
-        vals, lens = encode_tree_chunks(word_chunks, table_ref[:],
-                                        valid_ref[:, 0:1],
-                                        max_code_len=max_code_len,
-                                        cap_chunks=-(-cap_words // 128),
-                                        table_rows=table_rows)
-        viol = None
+    res = encode_tree_chunks(
+        word_chunks, table_ref[:], valid_ref[:, 0:1],
+        max_code_len=max_code_len, cap_chunks=-(-cap_words // 128),
+        halve_to_chunks=halve_to, compact16=compact16,
+        table_rows=table_rows, detect_missing=detect_missing)
+    vals, lens = res[0], res[1]
+    missing = res[-1] if detect_missing else None
+    viol = res[2] if (halve_to or compact16) else None
     stream = jnp.concatenate(vals, axis=1) if len(vals) > 1 else vals[0]
     if stream.shape[1] < cap_words:       # compact tree narrower than cap
         stream = jnp.pad(stream,
@@ -504,6 +513,11 @@ def _encode_kernel(table_ref, valid_ref, words_ref, out_ref, bits_ref,
         # (block bits <= 16384 use 15 bits; callers mask with BITS_MASK)
         f = jnp.max(viol.astype(jnp.int32), axis=1, keepdims=True)
         bitsv = bitsv | (f << 30)
+    if missing is not None:
+        # codebook-miss flag (sampled codebook saw no code for a valid
+        # byte) rides in bit 31: callers rebuild from the full histogram
+        m = jnp.max(missing.astype(jnp.int32), axis=1, keepdims=True)
+        bitsv = bitsv | (m << 31)
     bits_ref[:] = jnp.broadcast_to(bitsv, bits_ref.shape)
 
 
@@ -527,20 +541,24 @@ def pack_table(codes, lengths) -> "jax.Array":
                             jnp.zeros((6, 128), jnp.int32)], axis=0)
 
 
-BITS_MASK = (1 << 30) - 1      # bits output: bit 30 = spec-tree violation
+# bits output flag bits (callers mask the count with BITS_MASK):
+#   bit 30 = spec-tree violation (re-encode the block with the safe tree)
+#   bit 31 = codebook miss (sampled codebook: rebuild from full histogram)
+BITS_MASK = (1 << 30) - 1
 
 
 @functools.partial(jax.jit,
                    static_argnames=("capacity_words", "block_tile",
                                     "interpret", "max_code_len",
                                     "halve_to_chunks", "compact16",
-                                    "table_rows"))
+                                    "table_rows", "detect_missing"))
 def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          lengths: jax.Array, valid_bytes: jax.Array,
                          capacity_words: int, block_tile: int = 256,
                          interpret: bool = False, max_code_len: int = 16,
                          halve_to_chunks: int = 0,
-                         compact16: bool = False, table_rows: int = 2):
+                         compact16: bool = False, table_rows: int = 2,
+                         detect_missing: bool = False):
     """Drop-in twin of ops.encode.encode_blocks on the Pallas path.
 
     byte_blocks: (NB, 1024) uint8, OR pre-packed (NB, 256) uint32
@@ -579,7 +597,8 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
         functools.partial(_encode_kernel, cap_words=capacity_words,
                           max_code_len=max_code_len,
                           halve_to=halve_to_chunks, compact16=compact16,
-                          table_rows=table_rows),
+                          table_rows=table_rows,
+                          detect_missing=detect_missing),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i: (0, 0),

@@ -67,12 +67,15 @@ _PBUF_ROWS = PLANE_ROWS + 24   # window slack (16) + 8-row alignment
 # ---------------------------------------------------------------------------
 
 def _rank_mxu(pull, tri_ref):
-    """(rank, rank_row0): exclusive flat prefix count of a bool mask.
+    """(rank, rank_row0): exclusive flat prefix count of a bool mask,
+    independently per 8-row GROUP (a (16,128) input is two batched tiles
+    sharing one matmul).
 
     In-row inclusive prefix via ONE MXU matmul against an upper-
     triangular ones matrix (f32 is exact for counts <= 1024); row
-    offsets via free row rolls.  rank_row0 broadcasts each row's first-
-    lane rank to every lane (needed by the fetch's row-candidate trick).
+    offsets via free row rolls, blocked at group boundaries.  rank_row0
+    broadcasts each row's first-lane rank to every lane (needed by the
+    fetch's row-candidate trick).
     """
     m = pull.astype(jnp.float32)
     incl = jax.lax.dot_general(m, tri_ref[:], (((1,), (0,)), ((), ())),
@@ -81,7 +84,7 @@ def _rank_mxu(pull, tri_ref):
     row = jax.lax.broadcasted_iota(jnp.int32, pull.shape, 0)
     y = row_tot
     for k in (1, 2, 4):
-        y = y + jnp.where(row >= k, jnp.roll(y, k, axis=0), 0.0)
+        y = y + jnp.where((row & 7) >= k, jnp.roll(y, k, axis=0), 0.0)
     excl_rows = (y - row_tot).astype(jnp.int32)
     rank = (incl - m).astype(jnp.int32) + excl_rows
     return rank, excl_rows
@@ -109,25 +112,38 @@ def _fetch_plane(pbuf_ref, b8, lanei, rowi, rfull):
 
 def _decode_wide_kernel(roff0_ref, g0a_ref, roff1_ref, g0b_ref, bases_ref,
                         lim_ref, off_ref, lb_ref, tri_ref, perm_ref, nk_ref,
-                        payload_ref, out_ref, pbuf0_ref, pbuf1_ref, sems, *,
-                        mcl: int, two_row_perm: bool):
-    i = pl.program_id(0)
-    c0 = pltpu.make_async_copy(
-        payload_ref.at[pl.ds(pl.multiple_of(roff0_ref[i], 8), _PBUF_ROWS), :],
-        pbuf0_ref, sems.at[0])
-    c1 = pltpu.make_async_copy(
-        payload_ref.at[pl.ds(pl.multiple_of(roff1_ref[i], 8), _PBUF_ROWS), :],
-        pbuf1_ref, sems.at[1])
-    c0.start()
-    c1.start()
-    c0.wait()
-    c1.wait()
+                        payload_ref, out_ref, *scratch,
+                        mcl: int, two_row_perm: bool, td: int):
+    """td tiles decoded per grid step, batched as (8*td, 128) rows.
 
+    The round loop was VPU-latency-bound at one tile per step (every op
+    a single (8,128) vreg in a long dependent chain); batching td tiles
+    runs the same chain on td-vreg operands — only the payload fetch
+    stays per-tile (each tile has its own DMA window).  The MXU rank
+    matmul batches too (_rank_mxu is 8-row-group-local).
+    """
+    pbufs, sems = scratch[:-1], scratch[-1]
+    i = pl.program_id(0)
+    copies = []
+    for s in range(td):
+        c0 = pltpu.make_async_copy(
+            payload_ref.at[pl.ds(pl.multiple_of(roff0_ref[td * i + s], 8),
+                                 _PBUF_ROWS), :],
+            pbufs[2 * s], sems.at[2 * s])
+        c1 = pltpu.make_async_copy(
+            payload_ref.at[pl.ds(pl.multiple_of(roff1_ref[td * i + s], 8),
+                                 _PBUF_ROWS), :],
+            pbufs[2 * s + 1], sems.at[2 * s + 1])
+        c0.start()
+        c1.start()
+        copies += [c0, c1]
+    for c in copies:
+        c.wait()
+
+    R = 8 * td
     nk = nk_ref[:]
-    g0a = g0a_ref[i]
-    g0b = g0b_ref[i]
-    lims = [lim_ref[L] for L in range(16)]
-    offs = [off_ref[L] for L in range(16)]
+    lims = [lim_ref[L] for L in range(1, min(mcl, 15) + 1)]
+    offs = [off_ref[L] for L in range(1, min(mcl, 15) + 1)]
     lenbase = lb_ref[0]
     bias = _U32(1) << _U32(31)
 
@@ -137,20 +153,28 @@ def _decode_wide_kernel(roff0_ref, g0a_ref, roff1_ref, g0b_ref, bases_ref,
         pull = (avail < THRESH) & (avail < mcl * rem) & (rem > 0)
         rank, rank0 = _rank_mxu(pull, tri_ref)
 
-        base_j = bases_ref[i * ROUNDS + j]
-        # plane 0 window coordinates (plane 1 shares rank, differs by g0)
-        words = []
-        for (g0, pbuf) in ((g0a, pbuf0_ref), (g0b, pbuf1_ref)):
-            gp = g0 + base_j
-            b8 = pl.multiple_of((gp >> 7) & ~jnp.int32(7), 8)
-            goff = gp - (b8 << 7)
-            rel = goff + rank
-            lanei = rel & 127
-            rowi = rel >> 7
-            rfull = (goff + rank0) >> 7
-            w = _fetch_plane(pbuf, b8, lanei, rowi, rfull)
-            words.append(jnp.where(pull, w, _U32(0)))
-        w0, w1 = words
+        # per-tile plane fetch (each tile owns its DMA windows); planes
+        # share the rank, differ by g0
+        w0s, w1s = [], []
+        for s in range(td):
+            base_j = bases_ref[(td * i + s) * ROUNDS + j]
+            pull_s = pull[8 * s: 8 * s + 8]
+            rank_s = rank[8 * s: 8 * s + 8]
+            rank0_s = rank0[8 * s: 8 * s + 8]
+            for (g0, pbuf, acc_list) in (
+                    (g0a_ref[td * i + s], pbufs[2 * s], w0s),
+                    (g0b_ref[td * i + s], pbufs[2 * s + 1], w1s)):
+                gp = g0 + base_j
+                b8 = pl.multiple_of((gp >> 7) & ~jnp.int32(7), 8)
+                goff = gp - (b8 << 7)
+                rel = goff + rank_s
+                lanei = rel & 127
+                rowi = rel >> 7
+                rfull = (goff + rank0_s) >> 7
+                w = _fetch_plane(pbuf, b8, lanei, rowi, rfull)
+                acc_list.append(jnp.where(pull_s, w, _U32(0)))
+        w0 = jnp.concatenate(w0s) if td > 1 else w0s[0]
+        w1 = jnp.concatenate(w1s) if td > 1 else w1s[0]
 
         # append 64 bits (w0 then w1) at bit position avail (<= 47) of the
         # 128-bit (b0..b3) buffer — all free ALU
@@ -174,30 +198,31 @@ def _decode_wide_kernel(roff0_ref, g0a_ref, roff1_ref, g0b_ref, bases_ref,
                 b3 = b3 | piece
         avail = jnp.where(pull, avail + 64, avail)
 
-        acc = jnp.zeros((8, 128), _U32)
+        acc = jnp.zeros((R, 128), _U32)
         for u in range(SPR):
             act = (SPR * j + u) < nk
             vb = (b0 ^ bias).astype(jnp.int32)
+            # length from compares against lim_b, bounded by the STATIC
+            # mcl (entries past the live lengths are int32-max: always 0)
             lv = None
-            for L in range(1, 16):
-                ind = (vb > lims[L]).astype(jnp.int32)
+            for ind in [(vb > lim).astype(jnp.int32) for lim in lims]:
                 lv = ind if lv is None else lv + ind
             lv = lv + lenbase
-            ov = jnp.zeros((8, 128), jnp.int32)
-            for L in range(1, 16):
-                ov = jnp.where(lv == L, offs[L], ov)
+            ov = jnp.zeros((R, 128), jnp.int32)
+            for L, offv in zip(range(1, len(offs) + 1), offs):
+                ov = jnp.where(lv == L, offv, ov)
             idx = (_shr_u(b0, 32 - lv)).astype(jnp.int32) + ov
             if two_row_perm:
                 lo = jnp.clip(idx, 0, 255)
-                p0 = jnp.broadcast_to(perm_ref[0:1, :], (8, 128))
-                p1 = jnp.broadcast_to(perm_ref[1:2, :], (8, 128))
+                p0 = jnp.broadcast_to(perm_ref[0:1, :], (R, 128))
+                p1 = jnp.broadcast_to(perm_ref[1:2, :], (R, 128))
                 s0 = jnp.take_along_axis(p0, lo & 127, axis=1)
                 s1 = jnp.take_along_axis(p1, lo & 127, axis=1)
                 sym = jnp.where(lo < 128, s0, s1)
             else:
                 lo = jnp.clip(idx, 0, 127)
                 sym = jnp.take_along_axis(
-                    jnp.broadcast_to(perm_ref[0:1, :], (8, 128)), lo,
+                    jnp.broadcast_to(perm_ref[0:1, :], (R, 128)), lo,
                     axis=1)
             ln = jnp.where(act, lv, 0)
             acc = (acc << _U32(8)) | jnp.where(act, sym, 0).astype(_U32)
@@ -208,14 +233,16 @@ def _decode_wide_kernel(roff0_ref, g0a_ref, roff1_ref, g0b_ref, bases_ref,
             b3 = _safe_shl(b3, ln)
             avail = avail - ln
 
-        # round j's words land in rows [8j, 8j+8): dynamic stores must be
-        # 8-row aligned on TPU (lane-offset dynamic stores are not)
-        out_ref[pl.ds(pl.multiple_of(8 * j, 8), 8), :] = acc.astype(jnp.int32)
+        # tile s round j's words land in rows s*ROUNDS*8 + [8j, 8j+8):
+        # dynamic stores must be 8-row aligned on TPU
+        for s in range(td):
+            out_ref[pl.ds(pl.multiple_of(s * ROUNDS * 8 + 8 * j, 8),
+                          8), :] = acc[8 * s: 8 * s + 8].astype(jnp.int32)
         return b0, b1, b2, b3, avail
 
-    z = jnp.zeros((8, 128), _U32)
+    z = jnp.zeros((R, 128), _U32)
     jax.lax.fori_loop(0, ROUNDS, round_body,
-                      (z, z, z, z, jnp.zeros((8, 128), jnp.int32)))
+                      (z, z, z, z, jnp.zeros((R, 128), jnp.int32)))
 
 
 @functools.partial(jax.jit, static_argnames=("mcl", "two_row_perm",
@@ -242,34 +269,33 @@ def decode_wide_pallas(payload: jax.Array, roff0: jax.Array,
     of tile t's substream 128*s + l at [(t*ROUNDS + j)*8 + s, l].
     """
     nt = roff0.shape[0]
+    td = 2 if nt % 2 == 0 else 1     # tiles per grid step (see kernel)
     permb = jnp.zeros(256, jnp.int32).at[: perm.shape[0]].set(
         perm.astype(jnp.int32)).reshape(2, 128)
     permb = jnp.concatenate([permb, jnp.zeros((6, 128), jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
-        grid=(nt,),
+        grid=(nt // td,),
         in_specs=[
             pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((8 * td, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
-        out_specs=pl.BlockSpec((ROUNDS * 8, 128),
+        out_specs=pl.BlockSpec((td * ROUNDS * 8, 128),
                                lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((_PBUF_ROWS, 128), _U32),
-            pltpu.VMEM((_PBUF_ROWS, 128), _U32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((_PBUF_ROWS, 128), _U32) for _ in range(2 * td)]
+            + [pltpu.SemaphoreType.DMA((2 * td,))]),
     )
     out = pl.pallas_call(
         functools.partial(_decode_wide_kernel, mcl=mcl,
-                          two_row_perm=two_row_perm),
+                          two_row_perm=two_row_perm, td=td),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt * ROUNDS * 8, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -286,68 +312,90 @@ def decode_wide_pallas(payload: jax.Array, roff0: jax.Array,
 # emit (encode): route word pairs to precomputed plane positions
 # ---------------------------------------------------------------------------
 
-def _flat_roll_right(x, n):
-    """Roll a (R,128) array right by n positions over row-major flattening.
+def _rows_compact(v0, v1, mask, rank):
+    """Per-row LSB-first butterfly compaction of (v0, v1) word pairs.
 
-    n: traced scalar in [0, 128).  Elements shifted past a row end move to
-    the next row; entries shifted in are zero.
+    mask/rank: (R, 128) with rank the flat dense exclusive prefix count
+    of mask within each 8-row GROUP (groups are independent; rows of a
+    group share one rank space).  Compacts each row's movers to its head
+    lanes in local-rank order.  Supersedes the 10-stage flat butterfly
+    (3 tracks x 2 lane-gathers-plus-roll per stage): shifts never cross
+    rows, so each track costs ONE clipped lane gather per stage — and
+    the caller batches SEVERAL rounds into one call (R = 8 * rounds),
+    quartering the dependent-instruction chain the VPU was latency-bound
+    on (experiments/probe_emit.py: routing was 75% of emit at R = 8).
+
+    Per-row dense ranks are recovered as rank - min(rank over the row's
+    movers); LSB-first routing within a row is collision-free for dense
+    ranks, dead slots stay canonical all-zero (value and disp), and an
+    arrival is detected by bit k of the shifted-in disp.
+    Returns (a0, a1, rmin): compacted planes and each row's first global
+    rank (garbage on empty rows — their values are all-zero).
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    a = jnp.take_along_axis(x, jnp.clip(lane - n, 0, 127), axis=1)
-    up = jnp.roll(x, 1, axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    up = jnp.where(row == 0, jnp.zeros_like(x), up)
-    b = jnp.take_along_axis(up, jnp.clip(lane - n + 128, 0, 127), axis=1)
-    return jnp.where(lane >= n, a, b)
-
-
-def _butterfly_compact2(v0, v1, mask, rank):
-    """Move (v0[i], v1[i]) (row-major flat i over (8,128)) to flat position
-    rank[i] for masked lanes; rank must be the exclusive prefix count of
-    mask (dense ranks — LSB-first butterfly routing is collision-free).
-    Routes BOTH value planes on one shared disp track.
-    Unmasked output positions are zero."""
-    flat = (jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0) * 128
-            + jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1))
-    # dead slots are canonical all-zero (values AND disp): disp == 0 never
-    # moves, so no separate validity track rides the butterfly — an
-    # arrival is detected by bit k of the shifted-in disp (a mover has it
-    # set by definition), and LSB-first dense-rank routing guarantees a
-    # stationary live element never collides with an arrival.  3 shifted
-    # arrays per stage instead of 5.
-    disp = jnp.where(mask, flat - rank, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+    big = jnp.int32(1 << 20)
+    rmin = jnp.min(jnp.where(mask, rank, big), axis=1, keepdims=True)
+    disp = jnp.where(mask, lane - (rank - rmin), 0)
     a0 = jnp.where(mask, v0, _U32(0))
     a1 = jnp.where(mask, v1, _U32(0))
-    for k in range(10):
+    for k in range(7):
         bit = 1 << k
-
-        def shl(arr):
-            if bit < 128:
-                lane = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
-                x = jnp.take_along_axis(arr, jnp.clip(lane + bit, 0, 127),
-                                        axis=1)
-                dn = jnp.roll(arr, -1, axis=0)
-                row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
-                dn = jnp.where(row == arr.shape[0] - 1,
-                               jnp.zeros_like(arr), dn)
-                y = jnp.take_along_axis(dn, jnp.clip(lane + bit - 128,
-                                                     0, 127), axis=1)
-                return jnp.where(lane < 128 - bit, x, y)
-            r = bit // 128
-            dn = jnp.roll(arr, -r, axis=0)
-            row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
-            return jnp.where(row < arr.shape[0] - r,
-                             dn, jnp.zeros_like(arr))
-
+        idx = jnp.clip(lane + bit, 0, 127)
+        live = lane < 128 - bit
         move = (disp & bit) != 0
-        in_0 = shl(jnp.where(move, a0, _U32(0)))
-        in_1 = shl(jnp.where(move, a1, _U32(0)))
-        in_d = shl(jnp.where(move, disp, 0))
+        in_0 = jnp.where(live, jnp.take_along_axis(
+            jnp.where(move, a0, _U32(0)), idx, axis=1), _U32(0))
+        in_1 = jnp.where(live, jnp.take_along_axis(
+            jnp.where(move, a1, _U32(0)), idx, axis=1), _U32(0))
+        in_d = jnp.where(live, jnp.take_along_axis(
+            jnp.where(move, disp, 0), idx, axis=1), 0)
         arrived = (in_d & bit) != 0
         a0 = in_0 | jnp.where(move, _U32(0), a0)
         a1 = in_1 | jnp.where(move, _U32(0), a1)
         disp = jnp.where(arrived, in_d - bit, jnp.where(move, 0, disp))
-    return a0, a1
+    return a0, a1, rmin
+
+
+def _place8(a0, a1, rmin, f, pend0, pend1):
+    """OR an 8-row compacted group into the (16, 128) pending window at
+    flat positions f + rmin_r + lane (monotone run placement).
+
+    Runs are disjoint spans of [f, f + total) — global ranks are dense
+    across the group's rows — so OR-merging the two wrap parts of every
+    row is exact.  One per-row-rotate lane gather per plane plus cheap
+    row-compare selects; empty rows carry garbage rmin but all-zero
+    values, and ORing zeros anywhere is harmless.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    start = f + rmin                       # (8, 1)
+    sh = start & 127
+    rot = (lane - sh) & 127                # per-row rotate index
+    r0 = jnp.take_along_axis(a0, rot, axis=1)
+    r1 = jnp.take_along_axis(a1, rot, axis=1)
+    drow = start >> 7                      # (8, 1) in [0, 16)
+    row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+    for r in range(8):
+        # (1,1) slices broadcast against (16,128) — never a vector->
+        # scalar extraction (those reduce through SMEM at ~100x the cost).
+        # Wrapped lanes land one row further: fold the wrap into the
+        # target-row compare (a bool-valued where lowers to an i1 select
+        # Mosaic rejects at 16 rows).
+        dr = drow[r: r + 1, 0: 1]
+        shr = sh[r: r + 1, 0: 1]
+        hit = row16 == dr + (lane16 < shr).astype(jnp.int32)
+        pend0 = pend0 | jnp.where(
+            hit, jnp.broadcast_to(r0[r: r + 1], (16, 128)), _U32(0))
+        pend1 = pend1 | jnp.where(
+            hit, jnp.broadcast_to(r1[r: r + 1], (16, 128)), _U32(0))
+    return pend0, pend1
+
+
+def _row_compact_place2(v0, v1, mask, rank, f):
+    """Single-round route: compact + place (see _rows_compact/_place8)."""
+    a0, a1, rmin = _rows_compact(v0, v1, mask, rank)
+    return _place8(a0, a1, rmin, f,
+                   jnp.zeros((16, 128), _U32), jnp.zeros((16, 128), _U32))
 
 
 def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
@@ -358,89 +406,80 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
     per-lane stream cursor (8*mcl words for a 256-byte substream), which
     bounds the word-pair select scan — the kernel's dominant loop."""
     i = pl.program_id(0)
+    RB = 8                    # schedule rounds routed per loop iteration
 
-    def round_body(j, carry):
+    def batch_body(jb, carry):
         wcur, pend0, pend1, f, row_base = carry
-        posj = pos_ref[pl.ds(pl.multiple_of(8 * j, 8), 8), :]
-        pull = posj >= 0
-        cnt = cnts_ref[i * ROUNDS + j]
-        rank = jnp.where(pull, posj - bases_ref[i * ROUNDS + j], 0)
+        sels, pulls, ranks, cnts = [], [], [], []
+        for r in range(RB):
+            j = RB * jb + r
+            posj = pos_ref[pl.ds(pl.multiple_of(8 * j, 8), 8), :]
+            pull = posj >= 0
+            cnts.append(cnts_ref[i * ROUNDS + j])
+            ranks.append(jnp.where(pull, posj - bases_ref[i * ROUNDS + j],
+                                   0))
+            pulls.append(pull)
 
-        # word-pair select: lane (s,l)'s words wcur, wcur+1 live at
-        # streams[s, 128*w + l].  wcur is ALWAYS EVEN (starts at 0 and
-        # advances by 2 per pull), so candidates are word PAIRS indexed
-        # by q = wcur/2, selected by a TOURNAMENT tree keyed on q's bits:
-        # ~2*P selects total instead of the 3*P compare+select linear
-        # scan (P = pair count) — the kernel's dominant loop.
-        q = wcur >> 1
-        c0 = [streams_ref[:, (2 * p) * 128:(2 * p + 1) * 128]
-              for p in range((max_words + 2) // 2)]
-        c1 = [streams_ref[:, (2 * p + 1) * 128:(2 * p + 2) * 128]
-              for p in range((max_words + 2) // 2)]
-        level = 0
-        while len(c0) > 1:
-            m = (q & (1 << level)) != 0
-            c0 = [jnp.where(m, c0[2 * p + 1], c0[2 * p])
-                  if 2 * p + 1 < len(c0) else c0[2 * p]
-                  for p in range((len(c0) + 1) // 2)]
-            c1 = [jnp.where(m, c1[2 * p + 1], c1[2 * p])
-                  if 2 * p + 1 < len(c1) else c1[2 * p]
-                  for p in range((len(c1) + 1) // 2)]
-            level += 1
-        sel0, sel1 = c0[0], c1[0]
+            # word-pair select: lane (s,l)'s words wcur, wcur+1 live at
+            # streams[s, 128*w + l].  wcur is ALWAYS EVEN (starts at 0,
+            # advances by 2 per pull), so candidates are word PAIRS
+            # indexed by q = wcur/2, selected by a TOURNAMENT tree keyed
+            # on q's bits: ~2*P selects total instead of the 3*P
+            # compare+select linear scan (P = pair count).  Measured
+            # ~free next to the routing (experiments/probe_emit.py).
+            q = wcur >> 1
+            c0 = [streams_ref[:, (2 * p) * 128:(2 * p + 1) * 128]
+                  for p in range((max_words + 2) // 2)]
+            c1 = [streams_ref[:, (2 * p + 1) * 128:(2 * p + 2) * 128]
+                  for p in range((max_words + 2) // 2)]
+            level = 0
+            while len(c0) > 1:
+                m = (q & (1 << level)) != 0
+                c0 = [jnp.where(m, c0[2 * p + 1], c0[2 * p])
+                      if 2 * p + 1 < len(c0) else c0[2 * p]
+                      for p in range((len(c0) + 1) // 2)]
+                c1 = [jnp.where(m, c1[2 * p + 1], c1[2 * p])
+                      if 2 * p + 1 < len(c1) else c1[2 * p]
+                      for p in range((len(c1) + 1) // 2)]
+                level += 1
+            sels.append((c0[0], c1[0]))
+            wcur = wcur + 2 * pull.astype(jnp.int32)
 
-        e0, e1 = _butterfly_compact2(sel0, sel1, pull, rank)
-        # append at fill level f into the 16-row pending buffers
-        e016 = jnp.concatenate([e0, jnp.zeros((8, 128), _U32)], axis=0)
-        e116 = jnp.concatenate([e1, jnp.zeros((8, 128), _U32)], axis=0)
-        s0 = _flat_roll_right(e016, f & 127)
-        s1 = _flat_roll_right(e116, f & 127)
-        # row placement: dest row d takes source row d - rowoff (rowoff in
-        # [0, 8)) — per-vreg 8-deep sublane gathers (Mosaic's gather is
-        # single-source-vreg) instead of an 8-way concat/select ladder.
-        # Top half reads only rows [0, 8); bottom half straddles both.
-        rowoff = f >> 7
-        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        src_t = row8 - rowoff                  # in [-7, 7]
-        idx_t = src_t & 7
-        src_b = row8 + 8 - rowoff              # in [1, 15]
+        # ONE batched (8*RB, 128) compaction for the whole batch: rows
+        # are independent, each 8-row group keeps its own rank space
+        a0, a1, rmin = _rows_compact(
+            jnp.concatenate([s0 for s0, _ in sels]),
+            jnp.concatenate([s1 for _, s1 in sels]),
+            jnp.concatenate(pulls), jnp.concatenate(ranks))
 
-        def place(s):
-            top = jnp.where(src_t >= 0,
-                            jnp.take_along_axis(s[:8], idx_t, axis=0),
-                            _U32(0))
-            bot = jnp.where(src_b >= 8,
-                            jnp.take_along_axis(s[8:], idx_t, axis=0),
-                            jnp.take_along_axis(s[:8], idx_t, axis=0))
-            return jnp.concatenate([top, bot], axis=0)
+        for r in range(RB):
+            pend0, pend1 = _place8(a0[8 * r: 8 * r + 8],
+                                   a1[8 * r: 8 * r + 8],
+                                   rmin[8 * r: 8 * r + 8], f,
+                                   pend0, pend1)
+            f = f + cnts[r]
+            do_flush = f >= 1024
 
-        pend0 = pend0 | place(s0)
-        pend1 = pend1 | place(s1)
-        f = f + cnt
+            @pl.when(do_flush)
+            def _(pend0=pend0, pend1=pend1, row_base=row_base):
+                out0_ref[pl.ds(row_base, 8), :] = pend0[:8]
+                out1_ref[pl.ds(row_base, 8), :] = pend1[:8]
 
-        do_flush = f >= 1024
+            drop0 = jnp.concatenate(
+                [pend0[8:], jnp.zeros((8, 128), _U32)], axis=0)
+            drop1 = jnp.concatenate(
+                [pend1[8:], jnp.zeros((8, 128), _U32)], axis=0)
+            pend0 = jnp.where(do_flush, drop0, pend0)
+            pend1 = jnp.where(do_flush, drop1, pend1)
+            f = jnp.where(do_flush, f - 1024, f)
+            row_base = jnp.where(do_flush, row_base + 8, row_base)
 
-        @pl.when(do_flush)
-        def _():
-            out0_ref[pl.ds(row_base, 8), :] = pend0[:8]
-            out1_ref[pl.ds(row_base, 8), :] = pend1[:8]
-
-        drop0 = jnp.concatenate(
-            [pend0[8:], jnp.zeros((8, 128), _U32)], axis=0)
-        drop1 = jnp.concatenate(
-            [pend1[8:], jnp.zeros((8, 128), _U32)], axis=0)
-        pend0 = jnp.where(do_flush, drop0, pend0)
-        pend1 = jnp.where(do_flush, drop1, pend1)
-        f = jnp.where(do_flush, f - 1024, f)
-        row_base = jnp.where(do_flush, row_base + 8, row_base)
-
-        wcur = wcur + 2 * pull.astype(jnp.int32)
         return wcur, pend0, pend1, f, row_base
 
     z = jnp.zeros((8, 128), jnp.int32)
     z16 = jnp.zeros((16, 128), _U32)
     wcur, pend0, pend1, f, row_base = jax.lax.fori_loop(
-        0, ROUNDS, round_body, (z, z16, z16, 0, 0))
+        0, ROUNDS // RB, batch_body, (z, z16, z16, 0, 0))
 
     # final partial flush; f == 0 implies row_base may already equal
     # PLANE_ROWS (exactly-full tile) and there is nothing to write

@@ -122,9 +122,11 @@ def _schedule(l2: jax.Array, nk: jax.Array, mcl: int):
             cnts.transpose(1, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mcl_cap"))
+@functools.partial(jax.jit, static_argnames=("interpret", "mcl_cap",
+                                             "table_rows"))
 def _encode_device(blocks, codes, lengths, valid, mcl,
-                   interpret: bool = False, mcl_cap: int = MAXLEN):
+                   interpret: bool = False, mcl_cap: int = MAXLEN,
+                   table_rows: int = 2):
     """blocks (NB,1024) u8 or (NB,256) u32 LE words (api._host_words)
     -> (P0, P1, bases, cnts) device arrays.
 
@@ -157,7 +159,7 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
         # narrow (mcl <= 8) books that the dense tree would compact
         vals, _lens, l2 = encode_tree_chunks(
             word_chunks, table_ref[:], valid_ref[:, 0:1], stop_level=8,
-            capture_l2=True, no_halve=True)
+            capture_l2=True, no_halve=True, table_rows=table_rows)
         out_ref[:] = jnp.concatenate(vals, axis=1)
         l2_ref[:] = jnp.concatenate(l2, axis=1)
 
@@ -238,7 +240,8 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
     mcl_cap = next(b for b in (4, 8, MAXLEN) if mcl <= b)
     p0, p1, bases, cnts = _encode_device(
         blocks, jnp.asarray(cb.codes), jnp.asarray(cb.lengths), valid,
-        jnp.int32(mcl), interpret=interpret, mcl_cap=mcl_cap)
+        jnp.int32(mcl), interpret=interpret, mcl_cap=mcl_cap,
+        table_rows=api._table_rows(cb))
     bases = np.asarray(bases)
     tile_words = (bases[:, -1] + np.asarray(cnts)[:, -1]).astype(np.int32)
     p0 = np.asarray(p0).reshape(nt, PLANE_ROWS * 128)
