@@ -333,7 +333,7 @@ def main() -> None:
                         dcc = dc.at[255].set(carry)
                         p0, _p1, bases, _c = _encode_device(
                             a_db, dcc, dl, a_dv, jnp.int32(mcl),
-                            mcl_cap=mcl_cap)
+                            mcl_cap=mcl_cap, table_rows=trows)
                         return p0[0, 0] ^ bases[0, 0].astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
                 return fn, (db_w, dv_w)

@@ -67,6 +67,8 @@ def main():
                           "gbps": round(n / dt / 1e9, 2)}), flush=True)
 
     # full path
+    trows = api._table_rows(cb)
+
     def mk_full():
         @jax.jit
         def f(k, blocks, dc, dl, valid):
@@ -74,7 +76,7 @@ def main():
                 dcc = dc.at[255].set(carry)
                 p0, p1, bases, cnts = wide_mod._encode_device(
                     blocks, dcc, dl, valid, jnp.int32(mcl),
-                    mcl_cap=mcl_cap)
+                    mcl_cap=mcl_cap, table_rows=trows)
                 return p0[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
         return f, (blocks, dc, dl, valid)

@@ -496,8 +496,11 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
                        max_words: int = SUB_WORDS * MAXLEN // 16 + 1):
     """Materialize payload planes from substream streams + schedule.
 
-    streams_wm: (NT*8, 16384) u32 — substream streams word-major:
-      word w of substream (s,l) of tile t at [8t+s, 128*w + l].
+    streams_wm: (NT*8, WCOLS*128) u32 — substream streams word-major:
+      word w of substream (s,l) of tile t at [8t+s, 128*w + l].  WCOLS
+      (<= SUB_WORDS) may be sliced down to max_words+2 by the caller —
+      the select scan never reads past word max_words+1, so dropping the
+      dead tail halves the relayout + kernel copy-in for mcl <= 8 books.
     pos: (NT*ROUNDS*8, 128) i32 — plane position of each substream's pull
       in round j (rows 8j..8j+8 of tile t's 512-row block), -1 = no pull.
     bases/cnts: (NT*ROUNDS,) i32 — per-round pull-index base and count
@@ -513,11 +516,12 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
     = per-tile total pulls; rows beyond are unspecified).
     """
     nt = streams_wm.shape[0] // 8
+    wcols = streams_wm.shape[1] // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((8, 16384), lambda i, *_: (i, 0),
+            pl.BlockSpec((8, wcols * 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8 * ROUNDS, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -530,6 +534,10 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
         ),
     )
     max_words += max_words % 2   # pair coverage: see docstring
+    if max_words + 2 > wcols:
+        raise ValueError(
+            f"streams_wm has {wcols} word columns; the select scan needs "
+            f"max_words+2 = {max_words + 2}")
     return pl.pallas_call(
         functools.partial(_emit_kernel, max_words=max_words),
         grid_spec=grid_spec,

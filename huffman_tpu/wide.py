@@ -188,10 +188,13 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
     )(table, valid_col, words)
 
     # substream streams word-major per tile: word w of tile substream
-    # k = 128s + l at [8t + s, 128w + l]
+    # k = 128s + l at [8t + s, 128w + l].  The emit select scan never
+    # reads past word 8*mcl_cap+1, so slice the dead word tail BEFORE
+    # the transpose — halves the relayout traffic for mcl <= 8 books.
+    wcols = min(128, 8 * mcl_cap + 2)
     streams_wm = streams.reshape(nt, N_SUB, 128) \
-        .reshape(nt, 8, 128, 128).transpose(0, 1, 3, 2) \
-        .reshape(nt * 8, 128 * 128)
+        .reshape(nt, 8, 128, 128)[:, :, :, :wcols] \
+        .transpose(0, 1, 3, 2).reshape(nt * 8, wcols * 128)
 
     # l2 item i of block covers bytes [4i, 4i+4): substream i>>6 of the
     # block, round i&63 -> (NT, ROUNDS, N_SUB) with substream = 4b + s
