@@ -56,11 +56,11 @@ def _resolve_format(fmt: str, verify: bool, mesh: str | None) -> str:
     """'auto' picks the container by platform: wide on TPU (device decode
     is ~1000x the dense XLA fallback — see api.decode NOTE), dense
     elsewhere and for golden-exactness runs (--verify compares against
-    the CPU oracle's bit-concatenated stream) or sharded runs (--mesh
-    routes through the dense ShardedCodec)."""
+    the CPU oracle's bit-concatenated stream).  --mesh routes through
+    ShardedCodec, which speaks both containers."""
     if fmt != "auto":
         return fmt
-    if verify or mesh:
+    if verify:
         return "dense"
     try:
         import jax
@@ -94,8 +94,11 @@ def cmd_encode(args) -> int:
         h = entropy_bits_per_byte(byte_histogram_host(data))
         with HostTimer() as t:
             if fmt == "wide":
-                from . import wide
-                enc = wide.encode_wide(data, cfg)
+                if sc is not None:
+                    enc = sc.encode_wide(data)
+                else:
+                    from . import wide
+                    enc = wide.encode_wide(data, cfg)
             elif sc is not None:
                 enc = sc.encode(data)
             else:
@@ -127,8 +130,12 @@ def cmd_decode(args) -> int:
         with HostTimer() as t:
             from .wide import WideEncoded
             if isinstance(enc, WideEncoded):
-                from . import wide
-                data = wide.decode_wide(enc)
+                if getattr(args, "mesh", None):
+                    sc = sc or _mesh_codec(args, enc.config)
+                    data = sc.decode_wide(enc)
+                else:
+                    from . import wide
+                    data = wide.decode_wide(enc)
             elif getattr(args, "mesh", None):
                 sc = sc or _mesh_codec(args, enc.config)
                 data = sc.decode(enc)

@@ -520,3 +520,112 @@ class ShardedCodec:
             jax.device_put(valid, bs),
             jax.device_put(syms, rs), jax.device_put(lens, rs))
         return np.asarray(out).reshape(-1)[: enc.n_bytes]
+
+    def encode_wide(self, data, codebook: Codebook | None = None,
+                    interpret: bool = False):
+        """Sharded wide-format encode returning a single-chip-identical
+        WideEncoded.
+
+        Wide tiles are independent past the codebook, so the split is
+        tile-parallel: each shard runs the full wide device pipeline
+        (substream encode -> schedule scan -> emit, wide._encode_device)
+        on its own tiles; the only collective is the psum histogram when
+        no codebook is supplied.  Host assembly is byte-identical to the
+        single-chip container (wide._assemble_wide).
+        """
+        from .. import wide as wide_mod
+        from ..api import _host_words, _table_rows, valid_per_block
+        arr = (np.frombuffer(data, dtype=np.uint8)
+               if isinstance(data, (bytes, bytearray))
+               else np.ascontiguousarray(data, dtype=np.uint8).reshape(-1))
+        n = arr.size
+        cfg = self.cfg
+        if cfg.max_code_len > wide_mod.MAXLEN:
+            raise ValueError("wide format requires max_code_len <= 12")
+        ndev = self.mesh.devices.size
+        nt = max(1, cdiv(n, wide_mod.TILE_BYTES))
+        nbb = 1
+        while nbb < nt:
+            nbb *= 2
+        nt = cdiv(nbb, ndev) * ndev
+        padded = np.zeros(nt * wide_mod.TILE_BYTES, np.uint8)
+        padded[:n] = arr
+        nb = nt * wide_mod.TILE_BYTES // 1024
+        bs = NamedSharding(self.mesh, P(DATA_AXIS))
+        rs = NamedSharding(self.mesh, P())
+        d_blocks = jax.device_put(
+            _host_words(padded.reshape(-1, 1024)), bs)
+        d_valid = jax.device_put(valid_per_block(n, nb, 1024), bs)
+        if codebook is None:
+            hist = np.asarray(
+                histogram_sharded(self.mesh)(d_blocks, d_valid))
+            codebook = Codebook.from_frequencies_auto(
+                hist, cfg.max_code_len, cfg.narrow_tol)
+        cb = codebook
+        mcl = int(cb.lengths.max(initial=1)) or 1
+        mcl_cap = next(b for b in (4, 8, wide_mod.MAXLEN) if mcl <= b)
+
+        @functools.partial(
+            shard_map, mesh=self.mesh, check_vma=False,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
+            out_specs=(P(DATA_AXIS),) * 4)
+        def _enc(blocks_loc, valid_loc, codes, lengths, mcl_r):
+            return wide_mod._encode_device(
+                blocks_loc, codes, lengths, valid_loc, mcl_r[0],
+                interpret=interpret, mcl_cap=mcl_cap,
+                table_rows=_table_rows(cb))
+
+        p0, p1, bases, cnts = jax.jit(_enc)(
+            d_blocks, d_valid,
+            jax.device_put(cb.codes, rs), jax.device_put(cb.lengths, rs),
+            jax.device_put(np.asarray([mcl], np.int32), rs))
+        return wide_mod._assemble_wide(p0, p1, bases, cnts, cb, n, cfg)
+
+    def decode_wide(self, enc, interpret: bool = False) -> np.ndarray:
+        """Sharded wide decode: tiles split over the mesh, payload
+        replicated (the same layout the dense sharded decode uses for its
+        stream — per-tile payload spans are data-dependent, so a static
+        all-to-all split would re-materialize the gather XLA already does
+        for free on replicated operands)."""
+        from .. import wide as wide_mod
+        from ..ops.pallas.wide import decode_wide_pallas
+        if enc.n_bytes == 0:
+            return np.zeros(0, np.uint8)
+        ndev = self.mesh.devices.size
+        nt = len(enc.tile_words)
+        ntp = cdiv(nt, ndev) * ndev
+        if ntp != nt:   # pad tiles decode zero pulls and are dropped
+            enc = dataclasses.replace(
+                enc, tile_words=np.pad(enc.tile_words, (0, ntp - nt)),
+                bases=np.pad(enc.bases, ((0, ntp - nt), (0, 0))))
+        payload, roff0, g0a, roff1, g0b, nk = wide_mod._decode_plan(enc)
+        lim_b, off, perm, min_len = enc.codebook.canonical_decode_arrays()
+        mcl = int(enc.codebook.lengths.max(initial=1)) or 1
+        tri = np.triu(np.ones((128, 128), np.float32))
+        bs = NamedSharding(self.mesh, P(DATA_AXIS))
+        rs = NamedSharding(self.mesh, P())
+
+        @functools.partial(
+            shard_map, mesh=self.mesh, check_vma=False,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(),
+                      P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS))
+        def _dec(payload_r, r0, a0, r1, b0, bases_l, limb, offv, minl,
+                 tri_r, perm_r, nk_l):
+            return decode_wide_pallas(
+                payload_r, r0, a0, r1, b0, bases_l, limb, offv, minl,
+                tri_r, perm_r, nk_l, mcl=mcl,
+                two_row_perm=perm.size > 128, interpret=interpret)
+
+        out = jax.jit(_dec)(
+            jax.device_put(payload, rs),
+            jax.device_put(roff0, bs), jax.device_put(g0a, bs),
+            jax.device_put(roff1, bs), jax.device_put(g0b, bs),
+            jax.device_put(enc.bases.reshape(-1).astype(np.int32), bs),
+            jax.device_put(lim_b, rs), jax.device_put(off, rs),
+            jax.device_put(np.asarray([min_len], np.int32), rs),
+            jax.device_put(tri, rs), jax.device_put(perm, rs),
+            jax.device_put(nk, bs))
+        out = wide_mod._unpack_wide_output(out)
+        return np.asarray(out)[: enc.n_bytes]

@@ -215,7 +215,6 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
                 interpret: bool = False) -> WideEncoded:
     """Encode into the wide format on the device."""
     from . import api
-    from .ops.pallas.wide import PLANE_ROWS
     arr = (np.frombuffer(data, dtype=np.uint8)
            if isinstance(data, (bytes, bytearray))
            else np.ascontiguousarray(data, dtype=np.uint8).reshape(-1))
@@ -245,7 +244,16 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
         blocks, jnp.asarray(cb.codes), jnp.asarray(cb.lengths), valid,
         jnp.int32(mcl), interpret=interpret, mcl_cap=mcl_cap,
         table_rows=api._table_rows(cb))
+    return _assemble_wide(p0, p1, bases, cnts, cb, n, cfg)
+
+
+def _assemble_wide(p0, p1, bases, cnts, cb: Codebook, n: int,
+                   cfg: CodecConfig) -> WideEncoded:
+    """Device plane buffers -> WideEncoded (host assembly; shared by the
+    single-chip and sharded encode paths)."""
+    from .ops.pallas.wide import PLANE_ROWS
     bases = np.asarray(bases)
+    nt = bases.shape[0]
     tile_words = (bases[:, -1] + np.asarray(cnts)[:, -1]).astype(np.int32)
     p0 = np.asarray(p0).reshape(nt, PLANE_ROWS * 128)
     p1 = np.asarray(p1).reshape(nt, PLANE_ROWS * 128)

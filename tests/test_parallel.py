@@ -136,3 +136,42 @@ class TestShardedDecode:
         data = testdata.skewed(10_000, num_symbols=32, seed=9)
         enc = codec.encode(data)
         np.testing.assert_array_equal(codec.decode(enc), data)
+
+
+class TestShardedWide:
+    """Sharded wide-format codec (tile-parallel shard_map, Mosaic kernels
+    under the Pallas interpreter on the CPU mesh).
+
+    Key property, same as the dense path: the sharded container is
+    byte-identical to the single-chip wide.encode_wide container.
+    """
+
+    def test_matches_single_chip(self):
+        mesh = make_mesh(2)
+        data = testdata.skewed(300_000, num_symbols=32, seed=31)  # 2 tiles
+        cb = Codebook.from_data(data, 12)
+        from huffman_tpu import wide
+        enc1 = wide.encode_wide(data, CodecConfig(), codebook=cb,
+                                interpret=True)
+        enc2 = ShardedCodec(mesh).encode_wide(data, codebook=cb,
+                                              interpret=True)
+        np.testing.assert_array_equal(enc1.payload_words, enc2.payload_words)
+        np.testing.assert_array_equal(enc1.tile_words, enc2.tile_words)
+        np.testing.assert_array_equal(enc1.bases, enc2.bases)
+
+    def test_roundtrip(self):
+        mesh = make_mesh(2)
+        codec = ShardedCodec(mesh)
+        data = testdata.skewed(300_000, num_symbols=64, seed=32)
+        enc = codec.encode_wide(data, interpret=True)
+        np.testing.assert_array_equal(codec.decode_wide(enc, interpret=True),
+                                      data)
+
+    def test_decode_pads_tiles_to_mesh(self, mesh8):
+        # 1-tile container decoded on an 8-device mesh: 7 pad tiles
+        # schedule zero pulls and their output rows are dropped.
+        from huffman_tpu import wide
+        data = testdata.skewed(5_000, num_symbols=16, seed=33)
+        enc = wide.encode_wide(data, CodecConfig(), interpret=True)
+        out = ShardedCodec(mesh8).decode_wide(enc, interpret=True)
+        np.testing.assert_array_equal(out, data)
