@@ -49,6 +49,8 @@ def main():
     nb = blocks.shape[0]
     t = int(os.environ.get("HUFF_TILE", 64))
     compact16 = bool(int(os.environ.get("HUFF_COMPACT16", 0)))
+    trows = int(os.environ.get("HUFF_TROWS", 2))
+    halve = int(os.environ.get("HUFF_HALVE", 0))
     grid = nb // t
 
     def make_stopped(stop_level):
@@ -63,7 +65,9 @@ def main():
                                      valid_ref[:, 0:1],
                                      stop_level=stop_level,
                                      max_code_len=mcl,
-                                     compact16=compact16)
+                                     compact16=compact16,
+                                     table_rows=trows,
+                                     halve_to_chunks=halve)
             vals, lens = res[0], res[1]
             acc = vals[0]
             for v in vals[1:]:

@@ -337,31 +337,3 @@ class Codebook:
         perm[:n_live] = live
         return lim_b, off, perm, min_len
 
-    def two_level_tables(self, hi_bits: int = 7, lo_bits: int = 12):
-        """(t7, t12, s0): split decode tables for the wide device decoder.
-
-        Canonical codes are monotone in left-aligned value, so every code
-        of length <= hi_bits occupies a PREFIX of the lo_bits-wide
-        single-level table.  t7[p] (2^hi_bits entries) decodes short
-        codes in one shallow gather (entry sym<<5|len, 0 = escape);
-        escapes fall through to t12[i - s0], the suffix of the full table
-        from the first long code onward — typically a few hundred entries
-        instead of 2^lo_bits, so the in-kernel chunk scan shrinks by an
-        order of magnitude.  All int32; t12 is padded to a power-of-two
-        bucket (min 128) so kernel shapes hit the compile cache.
-        """
-        syms, lens = self.decode_table(lo_bits)
-        entries = (syms.astype(np.int32) << 5) | lens.astype(np.int32)
-        shift = lo_bits - hi_bits
-        t7 = np.zeros(1 << hi_bits, np.int32)
-        head = entries[:: 1 << shift]
-        short = (lens[:: 1 << shift] > 0) & (lens[:: 1 << shift] <= hi_bits)
-        t7[short] = head[short]
-        long_mask = lens > hi_bits
-        s0 = int(np.argmax(long_mask)) if long_mask.any() else (1 << lo_bits)
-        t12 = entries[s0:]
-        size = 128
-        while size < t12.size:
-            size *= 2
-        t12 = np.concatenate([t12, np.zeros(size - t12.size, np.int32)])
-        return t7, t12, s0
