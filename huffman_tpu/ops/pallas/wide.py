@@ -399,94 +399,116 @@ def _row_compact_place2(v0, v1, mask, rank, f):
 
 
 def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
-                 out1_ref, *, max_words: int):
-    """One tile: select each pulling lane's word pair, compact to plane
-    positions.  The schedule (pos, bases, per-round counts) is
-    precomputed (wide._schedule_arrays).  max_words statically bounds the
-    per-lane stream cursor (8*mcl words for a 256-byte substream), which
-    bounds the word-pair select scan — the kernel's dominant loop."""
+                 out1_ref, *, max_words: int, td: int):
+    """td tiles per grid step: select each pulling lane's word pair,
+    compact to plane positions.  The schedule (pos, bases, per-round
+    counts) is precomputed (wide._schedule_arrays).  max_words statically
+    bounds the per-lane stream cursor (8*mcl words for a 256-byte
+    substream), which bounds the word-pair select scan.
+
+    td > 1 interleaves INDEPENDENT tiles' round chains through one
+    fori_loop body — the same latency fix as the decode kernel's tile
+    batching: the per-round place/flush chain is dependent within a tile,
+    so a second tile's chain fills the VPU stalls (and the batched
+    compaction runs at td*RB*8 rows per call)."""
     i = pl.program_id(0)
     RB = 8                    # schedule rounds routed per loop iteration
 
     def batch_body(jb, carry):
-        wcur, pend0, pend1, f, row_base = carry
-        sels, pulls, ranks, cnts = [], [], [], []
-        for r in range(RB):
-            j = RB * jb + r
-            posj = pos_ref[pl.ds(pl.multiple_of(8 * j, 8), 8), :]
-            pull = posj >= 0
-            cnts.append(cnts_ref[i * ROUNDS + j])
-            ranks.append(jnp.where(pull, posj - bases_ref[i * ROUNDS + j],
-                                   0))
-            pulls.append(pull)
+        states = [list(s) for s in carry]
+        sels, pulls, ranks = [], [], []
+        cnts = [[] for _ in range(td)]
+        for t2 in range(td):
+            wcur = states[t2][0]
+            srow = streams_ref[pl.ds(pl.multiple_of(8 * t2, 8), 8), :]
+            for r in range(RB):
+                j = RB * jb + r
+                posj = pos_ref[
+                    pl.ds(pl.multiple_of(t2 * ROUNDS * 8 + 8 * j, 8), 8),
+                    :]
+                pull = posj >= 0
+                tb = (i * td + t2) * ROUNDS + j
+                cnts[t2].append(cnts_ref[tb])
+                ranks.append(jnp.where(pull, posj - bases_ref[tb], 0))
+                pulls.append(pull)
 
-            # word-pair select: lane (s,l)'s words wcur, wcur+1 live at
-            # streams[s, 128*w + l].  wcur is ALWAYS EVEN (starts at 0,
-            # advances by 2 per pull), so candidates are word PAIRS
-            # indexed by q = wcur/2, selected by a TOURNAMENT tree keyed
-            # on q's bits: ~2*P selects total instead of the 3*P
-            # compare+select linear scan (P = pair count).  Measured
-            # ~free next to the routing (experiments/probe_emit.py).
-            q = wcur >> 1
-            c0 = [streams_ref[:, (2 * p) * 128:(2 * p + 1) * 128]
-                  for p in range((max_words + 2) // 2)]
-            c1 = [streams_ref[:, (2 * p + 1) * 128:(2 * p + 2) * 128]
-                  for p in range((max_words + 2) // 2)]
-            level = 0
-            while len(c0) > 1:
-                m = (q & (1 << level)) != 0
-                c0 = [jnp.where(m, c0[2 * p + 1], c0[2 * p])
-                      if 2 * p + 1 < len(c0) else c0[2 * p]
-                      for p in range((len(c0) + 1) // 2)]
-                c1 = [jnp.where(m, c1[2 * p + 1], c1[2 * p])
-                      if 2 * p + 1 < len(c1) else c1[2 * p]
-                      for p in range((len(c1) + 1) // 2)]
-                level += 1
-            sels.append((c0[0], c1[0]))
-            wcur = wcur + 2 * pull.astype(jnp.int32)
+                # word-pair select: lane (s,l)'s words wcur, wcur+1 live
+                # at streams[s, 128*w + l].  wcur is ALWAYS EVEN (starts
+                # at 0, advances by 2 per pull), so candidates are word
+                # PAIRS indexed by q = wcur/2, selected by a TOURNAMENT
+                # tree keyed on q's bits: ~2*P selects total instead of
+                # the 3*P compare+select linear scan (P = pair count).
+                # Measured ~free next to the routing
+                # (experiments/probe_emit.py).
+                q = wcur >> 1
+                c0 = [srow[:, (2 * p) * 128:(2 * p + 1) * 128]
+                      for p in range((max_words + 2) // 2)]
+                c1 = [srow[:, (2 * p + 1) * 128:(2 * p + 2) * 128]
+                      for p in range((max_words + 2) // 2)]
+                level = 0
+                while len(c0) > 1:
+                    m = (q & (1 << level)) != 0
+                    c0 = [jnp.where(m, c0[2 * p + 1], c0[2 * p])
+                          if 2 * p + 1 < len(c0) else c0[2 * p]
+                          for p in range((len(c0) + 1) // 2)]
+                    c1 = [jnp.where(m, c1[2 * p + 1], c1[2 * p])
+                          if 2 * p + 1 < len(c1) else c1[2 * p]
+                          for p in range((len(c1) + 1) // 2)]
+                    level += 1
+                sels.append((c0[0], c1[0]))
+                wcur = wcur + 2 * pull.astype(jnp.int32)
+            states[t2][0] = wcur
 
-        # ONE batched (8*RB, 128) compaction for the whole batch: rows
-        # are independent, each 8-row group keeps its own rank space
+        # ONE batched (td*RB*8, 128) compaction for the whole batch:
+        # rows are independent, each 8-row group keeps its own rank space
         a0, a1, rmin = _rows_compact(
             jnp.concatenate([s0 for s0, _ in sels]),
             jnp.concatenate([s1 for _, s1 in sels]),
             jnp.concatenate(pulls), jnp.concatenate(ranks))
 
-        for r in range(RB):
-            pend0, pend1 = _place8(a0[8 * r: 8 * r + 8],
-                                   a1[8 * r: 8 * r + 8],
-                                   rmin[8 * r: 8 * r + 8], f,
-                                   pend0, pend1)
-            f = f + cnts[r]
-            do_flush = f >= 1024
+        for r in range(RB):            # round-major: interleave tiles
+            for t2 in range(td):
+                _wcur, pend0, pend1, f, row_base = states[t2]
+                b = 8 * (t2 * RB + r)
+                pend0, pend1 = _place8(a0[b: b + 8], a1[b: b + 8],
+                                       rmin[b: b + 8], f, pend0, pend1)
+                f = f + cnts[t2][r]
+                do_flush = f >= 1024
 
-            @pl.when(do_flush)
-            def _(pend0=pend0, pend1=pend1, row_base=row_base):
-                out0_ref[pl.ds(row_base, 8), :] = pend0[:8]
-                out1_ref[pl.ds(row_base, 8), :] = pend1[:8]
+                @pl.when(do_flush)
+                def _(pend0=pend0, pend1=pend1, row_base=row_base,
+                      t2=t2):
+                    o = t2 * PLANE_ROWS + row_base
+                    out0_ref[pl.ds(o, 8), :] = pend0[:8]
+                    out1_ref[pl.ds(o, 8), :] = pend1[:8]
 
-            drop0 = jnp.concatenate(
-                [pend0[8:], jnp.zeros((8, 128), _U32)], axis=0)
-            drop1 = jnp.concatenate(
-                [pend1[8:], jnp.zeros((8, 128), _U32)], axis=0)
-            pend0 = jnp.where(do_flush, drop0, pend0)
-            pend1 = jnp.where(do_flush, drop1, pend1)
-            f = jnp.where(do_flush, f - 1024, f)
-            row_base = jnp.where(do_flush, row_base + 8, row_base)
+                drop0 = jnp.concatenate(
+                    [pend0[8:], jnp.zeros((8, 128), _U32)], axis=0)
+                drop1 = jnp.concatenate(
+                    [pend1[8:], jnp.zeros((8, 128), _U32)], axis=0)
+                states[t2][1] = jnp.where(do_flush, drop0, pend0)
+                states[t2][2] = jnp.where(do_flush, drop1, pend1)
+                states[t2][3] = jnp.where(do_flush, f - 1024, f)
+                states[t2][4] = jnp.where(do_flush, row_base + 8,
+                                          row_base)
 
-        return wcur, pend0, pend1, f, row_base
+        return tuple(tuple(s) for s in states)
 
     z = jnp.zeros((8, 128), jnp.int32)
     z16 = jnp.zeros((16, 128), _U32)
-    wcur, pend0, pend1, f, row_base = jax.lax.fori_loop(
-        0, ROUNDS // RB, batch_body, (z, z16, z16, 0, 0))
+    init = tuple((z, z16, z16, 0, 0) for _ in range(td))
+    final = jax.lax.fori_loop(0, ROUNDS // RB, batch_body, init)
 
     # final partial flush; f == 0 implies row_base may already equal
     # PLANE_ROWS (exactly-full tile) and there is nothing to write
-    @pl.when(f > 0)
-    def _():
-        out0_ref[pl.ds(row_base, 8), :] = pend0[:8]
-        out1_ref[pl.ds(row_base, 8), :] = pend1[:8]
+    for t2 in range(td):
+        _wcur, pend0, pend1, f, row_base = final[t2]
+
+        @pl.when(f > 0)
+        def _(pend0=pend0, pend1=pend1, row_base=row_base, t2=t2):
+            o = t2 * PLANE_ROWS + row_base
+            out0_ref[pl.ds(o, 8), :] = pend0[:8]
+            out1_ref[pl.ds(o, 8), :] = pend1[:8]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "max_words"))
@@ -517,19 +539,21 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
     """
     nt = streams_wm.shape[0] // 8
     wcols = streams_wm.shape[1] // 128
+    td = 2 if nt % 2 == 0 else 1   # tiles per grid step (td=4 measured
+    #                                worse: 3.9 vs 3.57 ms at 64 MiB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nt,),
+        grid=(nt // td,),
         in_specs=[
-            pl.BlockSpec((8, wcols * 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((8 * td, wcols * 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * ROUNDS, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((td * ROUNDS * 8, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((PLANE_ROWS, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((td * PLANE_ROWS, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PLANE_ROWS, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((td * PLANE_ROWS, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
@@ -539,7 +563,7 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
             f"streams_wm has {wcols} word columns; the select scan needs "
             f"max_words+2 = {max_words + 2}")
     return pl.pallas_call(
-        functools.partial(_emit_kernel, max_words=max_words),
+        functools.partial(_emit_kernel, max_words=max_words, td=td),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nt * PLANE_ROWS, 128), _U32),
