@@ -307,7 +307,10 @@ def main() -> None:
         # through a remote-device tunnel measure the tunnel, not the codec.
         try:
             from huffman_tpu import wide as wide_mod
-            from huffman_tpu.wide import _decode_plan, _encode_device
+            from huffman_tpu.wide import (_decode_plan, _emit_device,
+                                          _encode_device,
+                                          _spec_policy,
+                                          _sub_encode_device)
             from huffman_tpu.ops.pallas.wide import decode_wide_pallas
             sub = data_ex
             progress("wide roundtrip")
@@ -325,15 +328,32 @@ def main() -> None:
             extra["wide_mib"] = ex_mb
 
             mcl_cap = next(b for b in (4, 8, 12) if mcl <= b)
+            wspec = _spec_policy(cb, mcl_cap)
+            extra["wide_spec_chunks"] = wspec
+            w_slot = {0: 128, 2: 64, 1: 32}[wspec]
+            w_mw = min(8 * mcl_cap, w_slot) if wspec else min(
+                8 * mcl_cap, 126)
 
             def mk_wide_enc():
+                # the PRODUCT flow's device work: speculative kernel 1 +
+                # emit, chained without the (tunnel-bound here) host
+                # flag fetch — the dense headline excludes its bits
+                # fetch on the same grounds; the patch itself costs
+                # ~flagged% of a safe kernel-1 pass + one row gather
                 @jax.jit
                 def fn(k, a_db, a_dv):
                     def body(_, carry):
                         dcc = dc.at[255].set(carry)
-                        p0, _p1, bases, _c = _encode_device(
-                            a_db, dcc, dl, a_dv, jnp.int32(mcl),
-                            mcl_cap=mcl_cap, table_rows=trows)
+                        if wspec:
+                            s, l2, _vb = _sub_encode_device(
+                                a_db, dcc, dl, a_dv, table_rows=trows,
+                                mcl_cap=mcl_cap, spec_chunks=wspec)
+                        else:
+                            s, l2 = _sub_encode_device(
+                                a_db, dcc, dl, a_dv, table_rows=trows,
+                                mcl_cap=mcl_cap, spec_chunks=0)
+                        p0, _p1, bases, _c = _emit_device(
+                            s, l2, a_dv, jnp.int32(mcl), max_words=w_mw)
                         return p0[0, 0] ^ bases[0, 0].astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
                 return fn, (db_w, dv_w)

@@ -307,9 +307,10 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
     bits; every such item is detected EXACTLY (lengths are pure adds,
     always correct) and returned as a per-lane violation mask — the
     caller re-encodes flagged blocks with the safe tree (api._patch
-    flow).  Mutually exclusive with capture_l2.  Return value becomes
-    (vals, lens, viol) with viol a (T, 128) bool mask (any-lane-true per
-    row == block needs the safe re-encode).
+    flow).  Return value grows to (vals, lens[, l2], viol) with viol a
+    (T, 128) bool mask (any-lane-true per row == block needs the safe
+    re-encode); composes with capture_l2 since lengths (hence l2) stay
+    exact under speculation (the wide spec tree uses both).
     compact16: SPECULATIVE density compaction — when the 8-byte-item
     level is wider than one chunk, run a fused merge+re-space to 16-byte
     items in a 2-word slot (4 bits/byte density, _merge_compact16): every
@@ -330,8 +331,6 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
     """
     t = word_chunks[0].shape[0]
     it = _iota128(t)
-    if capture_l2 and halve_to_chunks:
-        raise ValueError("capture_l2 and halve_to_chunks are exclusive")
     if stop_level < 3:
         raise ValueError("stop_level must be >= 3 (planar head merges "
                          "through 4-byte items)")
@@ -457,7 +456,7 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
     out = [vals, lens]
     if capture_l2:
         out.append(l2)
-    elif halve_to_chunks or compact16:
+    if halve_to_chunks or compact16:
         if viol is None:    # tree was statically narrow enough already
             viol = jnp.zeros_like(it) > 0
         out.append(viol)

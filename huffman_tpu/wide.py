@@ -122,48 +122,78 @@ def _schedule(l2: jax.Array, nk: jax.Array, mcl: int):
             cnts.transpose(1, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mcl_cap",
-                                             "table_rows"))
-def _encode_device(blocks, codes, lengths, valid, mcl,
-                   interpret: bool = False, mcl_cap: int = MAXLEN,
-                   table_rows: int = 2):
-    """blocks (NB,1024) u8 or (NB,256) u32 LE words (api._host_words)
-    -> (P0, P1, bases, cnts) device arrays.
+@functools.partial(jax.jit, static_argnames=("interpret", "table_rows",
+                                             "mcl_cap", "spec_chunks"))
+def _sub_encode_device(blocks, codes, lengths, valid,
+                       interpret: bool = False, table_rows: int = 2,
+                       mcl_cap: int = MAXLEN, spec_chunks: int = 0):
+    """Kernel 1: substream-encode blocks at stop_level 8.
 
-    P0/P1: (NT*PLANE_ROWS, 128) u32 plane rows (live words per tile =
-    bases[t,-1] + cnts[t,-1]); bases/cnts (NT, ROUNDS) i32.
-    mcl is the EXACT max code length (traced; enters the pull rule, so
-    it is format data); mcl_cap is a static bucket >= mcl ({4, 8, 12})
-    that bounds the emit kernel's select scan.
+    blocks (NB,1024) u8 or (NB,256) u32 LE words (api._host_words).
+    spec_chunks picks the merge tree (the wide twin of the dense path's
+    speculative schedule, api._spec_halve_to/_spec_compact16):
+
+      0 — SAFE: no_halve 4-chunk span layout, 128-word substream slots
+          (any book to MAXLEN fits: 8*12 = 96 words).
+          Returns (streams (NB,512), l2 (NB,256)).
+      2 — halve-L2: 2 chunks, 64-word slots (8 bits/byte substream
+          capacity).  LOSSLESS for mcl <= 8 (the L2 halve is static);
+          speculative w4 flags for mcl in (9, 12].
+          Returns (streams (NB,256), l2, violb (NB,) i32).
+      1 — halve + compact16: 1 chunk, 32-word slots (4 bits/byte).
+          Lossless for mcl <= 4; w16 (and w4 beyond mcl 8) flags above.
+          Returns (streams (NB,128), l2, violb).
+
+    Violating blocks (word VALUES that lost bits) are flagged EXACTLY;
+    lengths — hence l2, the schedule, and the container — stay exact
+    regardless.  Slot-capacity overflow (a substream's exact bits
+    exceeding the slot) is the caller's check from l2 (encode_wide
+    falls back to the safe tree).
     """
     from .ops.pallas.encode import (BLOCK_BYTES, bytes_to_words,
                                     encode_tree_chunks, pack_table)
-    from .ops.pallas import wide as wk
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nb = blocks.shape[0]
-    nt = nb * 1024 // TILE_BYTES
     words = (blocks if blocks.dtype == jnp.uint32
              else bytes_to_words(blocks))
-
     t = 128 if nb % 128 == 0 else 32
     grid = nb // t
     table = pack_table(codes, lengths)
     valid_col = valid.astype(jnp.int32)[:, None]
+    out_cols = {0: 512, 2: 256, 1: 128}[spec_chunks]
 
-    def _kern(table_ref, valid_ref, words_ref, out_ref, l2_ref):
+    def _kern(table_ref, valid_ref, words_ref, out_ref, l2_ref,
+              *viol_ref):
         word_chunks = [words_ref[:, :128], words_ref[:, 128:256]]
-        # no_halve: the substream layout downstream (streams_wm below)
-        # requires the 4-chunk span layout at stop_level 8 even for
-        # narrow (mcl <= 8) books that the dense tree would compact
-        vals, _lens, l2 = encode_tree_chunks(
-            word_chunks, table_ref[:], valid_ref[:, 0:1], stop_level=8,
-            capture_l2=True, no_halve=True, table_rows=table_rows)
-        out_ref[:] = jnp.concatenate(vals, axis=1)
+        kw = dict(stop_level=8, capture_l2=True, table_rows=table_rows,
+                  max_code_len=mcl_cap)
+        if spec_chunks == 0:
+            vals, _lens, l2 = encode_tree_chunks(
+                word_chunks, table_ref[:], valid_ref[:, 0:1],
+                no_halve=True, **kw)
+        else:
+            vals, _lens, l2, viol = encode_tree_chunks(
+                word_chunks, table_ref[:], valid_ref[:, 0:1],
+                halve_to_chunks=2, compact16=(spec_chunks == 1), **kw)
+            viol_ref[0][:] = jnp.any(viol, axis=1,
+                                     keepdims=True).astype(jnp.int32)
+        out_ref[:] = (jnp.concatenate(vals, axis=1) if len(vals) > 1
+                      else vals[0])
         l2_ref[:] = jnp.concatenate(l2, axis=1)
 
-    streams, l2 = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((nb, out_cols), jnp.uint32),
+                  jax.ShapeDtypeStruct((nb, 256), jnp.int32)]
+    out_specs = [pl.BlockSpec((t, out_cols), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((t, 256), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if spec_chunks:
+        out_shapes.append(jax.ShapeDtypeStruct((nb, 1), jnp.int32))
+        out_specs.append(pl.BlockSpec((t, 1), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         _kern,
         grid=(grid,),
         in_specs=[
@@ -174,27 +204,49 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
             pl.BlockSpec((t, BLOCK_BYTES // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((t, 512), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 256), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 512), jnp.uint32),
-            jax.ShapeDtypeStruct((nb, 256), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
     )(table, valid_col, words)
+    if spec_chunks:
+        return res[0], res[1], res[2][:, 0]
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "max_words"))
+def _emit_device(streams, l2, valid, mcl, interpret: bool = False,
+                 max_words: int = 8 * MAXLEN):
+    """Phase 2: relayout + pull schedule + emit -> payload planes.
+
+    streams: (NB, 4*slot) u32 from _sub_encode_device — substream s of a
+    block holds words [slot*s, slot*(s+1)); slot in {128, 64, 32}.
+    l2: (NB, 256) i32 exact per-4-byte-item bit lengths.
+    max_words: static EVEN bound on live words per substream (8*mcl for
+    a 256-byte substream, capped at the slot); bounds the emit select
+    scan and the relayout width.
+    Returns (P0, P1, bases, cnts): P0/P1 (NT*PLANE_ROWS, 128) u32 plane
+    rows (live words per tile = bases[t,-1] + cnts[t,-1]); bases/cnts
+    (NT, ROUNDS) i32.  mcl is the EXACT max code length (traced; enters
+    the pull rule, so it is format data).
+    """
+    from .ops.pallas import wide as wk
+
+    nb = streams.shape[0]
+    nt = nb * 1024 // TILE_BYTES
+    slot = streams.shape[1] // 4
 
     # substream streams word-major per tile: word w of tile substream
     # k = 128s + l at [8t + s, 128w + l].  The emit select scan never
-    # reads past word 8*mcl_cap+1, so slice the dead word tail BEFORE
-    # the transpose — halves the relayout traffic for mcl <= 8 books.
-    wcols = min(128, 8 * mcl_cap + 2)
-    streams_wm = streams.reshape(nt, N_SUB, 128) \
-        .reshape(nt, 8, 128, 128)[:, :, :, :wcols] \
-        .transpose(0, 1, 3, 2).reshape(nt * 8, wcols * 128)
+    # reads past word max_words+1, so slice the dead word tail BEFORE
+    # the transpose (halves the relayout traffic for mcl <= 8 books) —
+    # or pad with the 2 dead select columns when the slot is exact.
+    wcols = max_words + 2
+    s4 = streams.reshape(nt, N_SUB, slot).reshape(nt, 8, 128, slot)
+    if wcols <= slot:
+        s4 = s4[:, :, :, :wcols]
+    else:
+        s4 = jnp.pad(s4, ((0, 0), (0, 0), (0, 0), (0, wcols - slot)))
+    streams_wm = s4.transpose(0, 1, 3, 2).reshape(nt * 8, wcols * 128)
 
     # l2 item i of block covers bytes [4i, 4i+4): substream i>>6 of the
     # block, round i&63 -> (NT, ROUNDS, N_SUB) with substream = 4b + s
@@ -206,8 +258,91 @@ def _encode_device(blocks, codes, lengths, valid, mcl,
     p0, p1 = wk.emit_planes_pallas(
         streams_wm, pos.reshape(nt * ROUNDS * 8, 128),
         bases.reshape(-1), cnts.reshape(-1), interpret=interpret,
-        max_words=8 * mcl_cap)
+        max_words=max_words)
     return p0, p1, bases, cnts
+
+
+def _encode_device(blocks, codes, lengths, valid, mcl,
+                   interpret: bool = False, mcl_cap: int = MAXLEN,
+                   table_rows: int = 2):
+    """SAFE fused encode: kernel 1 (safe tree) + phase 2, no host sync.
+
+    The product path (encode_wide) runs the SPECULATIVE kernel-1 variant
+    plus a host flag/capacity sync and block patch between the phases;
+    this composition is the always-correct twin (also the sharded
+    per-shard step, parallel/pipeline.ShardedCodec.encode_wide).
+    """
+    streams, l2 = _sub_encode_device(
+        blocks, codes, lengths, valid, interpret=interpret,
+        table_rows=table_rows, mcl_cap=mcl_cap, spec_chunks=0)
+    return _emit_device(streams, l2, valid, mcl, interpret=interpret,
+                        max_words=min(8 * mcl_cap, 126))
+
+
+def _spec_policy(cb: Codebook, mcl_cap: int) -> int:
+    """spec_chunks for this codebook (cost policy, not correctness).
+
+    Narrower trees run faster but flag more blocks for the safe
+    re-encode (w4: a 4-byte item over 32 bits; w16: a 16-byte item over
+    64 bits) and cap the per-substream slot (4 or 8 bits/byte — an
+    EXACT overflow check falls back to the safe tree, so pathological
+    streams only cost a rerun).  Expected per-block flag rates come
+    from the codebook's training histogram (_window_overflow_fracs).
+    """
+    if mcl_cap <= 4:
+        return 1                      # lossless at 32-word slots
+    w4 = cb.est_w4_frac or 1.0
+    w16 = cb.est_w16_frac or 1.0
+    bpb = cb.est_bpb or 8.0
+    flag1 = (0.0 if mcl_cap <= 8 else 256 * w4) + 64 * w16
+    if flag1 <= WIDE_SPEC_TOL and bpb <= 3.0:
+        return 1
+    if mcl_cap <= 8:
+        return 2                      # lossless at 64-word slots
+    if 256 * w4 <= WIDE_SPEC_TOL and bpb <= 6.5:
+        return 2
+    return 0
+
+
+# Acceptable expected fraction of BLOCKS needing the safe-tree
+# re-encode on the wide path: the patch costs ~(flagged fraction) of a
+# safe kernel-1 pass plus one streams-sized row gather, against saving
+# roughly half of kernel 1 — so up to ~1/5 of blocks keeps the narrow
+# tree strictly profitable.
+WIDE_SPEC_TOL = 0.2
+
+
+@functools.partial(jax.jit, static_argnames=("slot_bits",))
+def _slot_overflow(l2, slot_bits: int):
+    """(,) bool: some substream's EXACT bit total exceeds the slot.
+
+    l2 item i of a block covers bytes [4i, 4i+4), so substream s of the
+    block is items [64s, 64(s+1)) — lengths are exact under speculation,
+    which makes this check (and the safe-tree fallback it triggers)
+    exact too."""
+    sub_bits = l2.reshape(l2.shape[0], 4, 64).sum(axis=2)
+    return jnp.any(sub_bits > slot_bits)
+
+
+@jax.jit
+def _overlay_rows_gather(streams, fixed, idx):
+    """Row overlay as ONE row gather: out[r] = concat(streams, fixed)[
+    idx[r]].  Row gathers (1 KiB rows) lower to HBM-bound dynamic
+    slices on TPU — unlike element scatters (~0.02 GB/s) or a fori of
+    dynamic_update_slice (serial, ~1 us/row: the dense path's
+    _overlay_rows is fine for its handful of rows, not for the wide
+    spec tree's ~5-12%% of blocks)."""
+    return jnp.take(jnp.concatenate([streams, fixed]), idx, axis=0)
+
+
+def _repack_safe_rows(safe_streams, slot: int):
+    """(NFIX, 512) safe 4-chunk rows -> (NFIX, 4*slot) spec-layout rows.
+
+    Safe substream s holds words [128s, 128s+128); a patched block that
+    passed the slot-capacity check uses at most `slot` of them."""
+    nfix = safe_streams.shape[0]
+    return safe_streams.reshape(nfix, 4, 128)[:, :, :slot] \
+        .reshape(nfix, 4 * slot)
 
 
 def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
@@ -240,10 +375,53 @@ def encode_wide(data, cfg: CodecConfig = DEFAULT_CONFIG,
     blocks = jnp.asarray(api._host_words(padded.reshape(-1, 1024)))
     valid = jnp.asarray(api.valid_per_block(n, nb_w, 1024))
     mcl_cap = next(b for b in (4, 8, MAXLEN) if mcl <= b)
+    trows = api._table_rows(cb)
+    d_codes = jnp.asarray(cb.codes)
+    d_lens = jnp.asarray(cb.lengths)
+    spec = _spec_policy(cb, mcl_cap)
+    if spec:
+        streams, l2, violb = _sub_encode_device(
+            blocks, d_codes, d_lens, valid, interpret=interpret,
+            table_rows=trows, mcl_cap=mcl_cap, spec_chunks=spec)
+        slot = streams.shape[1] // 4
+        # ONE host sync covers both exactness gates: slot-capacity
+        # overflow (fall back to the safe tree — cannot be patched, the
+        # block simply does not fit the narrow layout) and value
+        # violations (patch the flagged blocks with safe re-encodes)
+        over = bool(np.asarray(_slot_overflow(l2, slot * 32)).any())
+        if not over:
+            flagged = np.nonzero(np.asarray(violb))[0]
+            if flagged.size:
+                host_words = np.asarray(
+                    api._host_words(padded.reshape(-1, 1024)))
+                host_valid = np.asarray(
+                    api.valid_per_block(n, nb_w, 1024))
+                nfix = 64
+                while nfix < flagged.size:
+                    nfix *= 2
+                idxp = np.concatenate(
+                    [flagged,
+                     np.repeat(flagged[:1], nfix - flagged.size)]
+                ).astype(np.int64)
+                safe_s, _l2f = _sub_encode_device(
+                    jnp.asarray(host_words[idxp]), d_codes, d_lens,
+                    jnp.asarray(host_valid[idxp]), interpret=interpret,
+                    table_rows=trows, mcl_cap=mcl_cap, spec_chunks=0)
+                fixed = _repack_safe_rows(safe_s, slot)
+                idx = np.arange(nb_w, dtype=np.int32)
+                idx[flagged] = nb_w + np.arange(flagged.size,
+                                                dtype=np.int32)
+                streams = _overlay_rows_gather(streams, fixed,
+                                               jnp.asarray(idx))
+            p0, p1, bases, cnts = _emit_device(
+                streams, l2, valid, jnp.int32(mcl),
+                interpret=interpret,
+                max_words=min(8 * mcl_cap, slot))
+            return _assemble_wide(p0, p1, bases, cnts, cb, n, cfg)
     p0, p1, bases, cnts = _encode_device(
-        blocks, jnp.asarray(cb.codes), jnp.asarray(cb.lengths), valid,
+        blocks, d_codes, d_lens, valid,
         jnp.int32(mcl), interpret=interpret, mcl_cap=mcl_cap,
-        table_rows=api._table_rows(cb))
+        table_rows=trows)
     return _assemble_wide(p0, p1, bases, cnts, cb, n, cfg)
 
 
