@@ -146,7 +146,11 @@ def _bucket_blocks(nb: int) -> int:
 # encode kernel of chunk i (the TPU analogue of the reference's
 # dual-stream double-buffered histogram feed, hist.cu:89-108) — and every
 # chunk reuses ONE compiled kernel shape, capping pow2-bucket padding
-# waste at one chunk.
+# waste at one chunk.  Measured (experiments/profile_chunked.py, 64 MiB):
+# chunking adds no dispatch cost over one monolithic launch (31.4 vs
+# 32.0 ms) and the pipelined dispatch order runs 23% faster than fully
+# serialized put->sync->kernel->sync staging (1142 vs 1473 ms through
+# the H2D-bound tunnel).
 CHUNK_BLOCKS = 16384
 
 

@@ -527,11 +527,16 @@ class ShardedCodec:
         WideEncoded.
 
         Wide tiles are independent past the codebook, so the split is
-        tile-parallel: each shard runs the full wide device pipeline
-        (substream encode -> schedule scan -> emit, wide._encode_device)
-        on its own tiles; the only collective is the psum histogram when
-        no codebook is supplied.  Host assembly is byte-identical to the
-        single-chip container (wide._assemble_wide).
+        tile-parallel; each shard runs the same two device phases as the
+        single-chip product path (wide.encode_wide): the SPECULATIVE
+        substream tree (wide._sub_encode_device, policy-picked), then
+        relayout + schedule + emit (wide._emit_device).  Between them sit
+        the same exactness gates — a global slot-capacity check (exact,
+        from l2; falls back to the safe tree) and the flagged-block patch,
+        here as a per-shard row-gather overlay (the wide twin of
+        _patch_flagged_sharded).  Collectives: only the psum histogram
+        when no codebook is supplied.  Host assembly is byte-identical to
+        the single-chip container (wide._assemble_wide).
         """
         from .. import wide as wide_mod
         from ..api import _host_words, _table_rows, valid_per_block
@@ -551,11 +556,13 @@ class ShardedCodec:
         padded = np.zeros(nt * wide_mod.TILE_BYTES, np.uint8)
         padded[:n] = arr
         nb = nt * wide_mod.TILE_BYTES // 1024
+        nb_loc = nb // ndev
         bs = NamedSharding(self.mesh, P(DATA_AXIS))
         rs = NamedSharding(self.mesh, P())
-        d_blocks = jax.device_put(
-            _host_words(padded.reshape(-1, 1024)), bs)
-        d_valid = jax.device_put(valid_per_block(n, nb, 1024), bs)
+        host_words = _host_words(padded.reshape(-1, 1024))
+        host_valid = valid_per_block(n, nb, 1024)
+        d_blocks = jax.device_put(host_words, bs)
+        d_valid = jax.device_put(host_valid, bs)
         if codebook is None:
             hist = np.asarray(
                 histogram_sharded(self.mesh)(d_blocks, d_valid))
@@ -564,22 +571,113 @@ class ShardedCodec:
         cb = codebook
         mcl = int(cb.lengths.max(initial=1)) or 1
         mcl_cap = next(b for b in (4, 8, wide_mod.MAXLEN) if mcl <= b)
+        trows = _table_rows(cb)
+        d_codes = jax.device_put(cb.codes, rs)
+        d_lens = jax.device_put(cb.lengths, rs)
+        d_mcl = jax.device_put(np.asarray([mcl], np.int32), rs)
+
+        def k1(spec_chunks: int):
+            n_out = 3 if spec_chunks else 2
+
+            @functools.partial(
+                shard_map, mesh=self.mesh, check_vma=False,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+                out_specs=(P(DATA_AXIS),) * n_out)
+            def _k1(blocks_loc, valid_loc, codes, lengths):
+                return wide_mod._sub_encode_device(
+                    blocks_loc, codes, lengths, valid_loc,
+                    interpret=interpret, table_rows=trows,
+                    mcl_cap=mcl_cap, spec_chunks=spec_chunks)
+            return jax.jit(_k1)
+
+        def emit(max_words: int):
+            @functools.partial(
+                shard_map, mesh=self.mesh, check_vma=False,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=(P(DATA_AXIS),) * 4)
+            def _em(streams_loc, l2_loc, valid_loc, mcl_r):
+                return wide_mod._emit_device(
+                    streams_loc, l2_loc, valid_loc, mcl_r[0],
+                    interpret=interpret, max_words=max_words)
+            return jax.jit(_em)
+
+        spec = wide_mod._spec_policy(cb, mcl_cap)
+        if spec:
+            streams, l2, violb = k1(spec)(d_blocks, d_valid, d_codes,
+                                          d_lens)
+            slot = streams.shape[1] // 4
+            if bool(np.asarray(wide_mod._slot_overflow(l2, slot * 32))):
+                spec = 0            # exact fallback: safe tree
+            else:
+                flagged = np.nonzero(np.asarray(violb))[0]
+                if flagged.size:
+                    streams = self._patch_flagged_wide(
+                        streams, host_words, host_valid, flagged, slot,
+                        mcl_cap, trows, d_codes, d_lens, interpret)
+                p0, p1, bases, cnts = emit(min(8 * mcl_cap, slot))(
+                    streams, l2, d_valid, d_mcl)
+                return wide_mod._assemble_wide(p0, p1, bases, cnts, cb,
+                                               n, cfg)
+        streams, l2 = k1(0)(d_blocks, d_valid, d_codes, d_lens)
+        p0, p1, bases, cnts = emit(min(8 * mcl_cap, 126))(
+            streams, l2, d_valid, d_mcl)
+        return wide_mod._assemble_wide(p0, p1, bases, cnts, cb, n, cfg)
+
+    def _patch_flagged_wide(self, streams, host_words, host_valid,
+                            flagged, slot: int, mcl_cap: int, trows: int,
+                            d_codes, d_lens, interpret: bool):
+        """Safe re-encode of spec-flagged blocks + per-shard row-gather
+        overlay into the SHARDED wide streams buffer.
+
+        The wide spec tree can flag a few percent of blocks (vs the
+        dense path's handful), so the overlay is ONE local row gather
+        per shard (jnp.take of 1 KiB-class rows, HBM-bound) instead of
+        the dense path's serial dynamic_update_slice loop."""
+        from .. import wide as wide_mod
+        ndev = self.mesh.devices.size
+        nb = host_words.shape[0]
+        nb_loc = nb // ndev
+        shard_of = flagged // nb_loc
+        counts = np.bincount(shard_of, minlength=ndev)
+        nfix = 8
+        while nfix < counts.max():
+            nfix *= 2
+        npad = 64
+        while npad < flagged.size:
+            npad *= 2
+        idxp = np.concatenate(
+            [flagged, np.repeat(flagged[:1], npad - flagged.size)]
+        ).astype(np.int64)
+        safe_s, _l2f = wide_mod._sub_encode_device(
+            jnp.asarray(host_words[idxp]), d_codes, d_lens,
+            jnp.asarray(host_valid[idxp]), interpret=interpret,
+            table_rows=trows, mcl_cap=mcl_cap, spec_chunks=0)
+        fixed = np.asarray(wide_mod._repack_safe_rows(safe_s, slot))
+        cols = 4 * slot
+        fix_all = np.zeros((ndev, nfix, cols), np.uint32)
+        idx_all = np.tile(np.arange(nb_loc, dtype=np.int32), (ndev, 1))
+        slot_ctr = np.zeros(ndev, np.int64)
+        for i, g in enumerate(flagged):
+            sh = int(g) // nb_loc
+            k = int(slot_ctr[sh])
+            slot_ctr[sh] = k + 1
+            fix_all[sh, k] = fixed[i]
+            idx_all[sh, int(g) - sh * nb_loc] = nb_loc + k
+        bs = NamedSharding(self.mesh, P(DATA_AXIS))
 
         @functools.partial(
             shard_map, mesh=self.mesh, check_vma=False,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
-            out_specs=(P(DATA_AXIS),) * 4)
-        def _enc(blocks_loc, valid_loc, codes, lengths, mcl_r):
-            return wide_mod._encode_device(
-                blocks_loc, codes, lengths, valid_loc, mcl_r[0],
-                interpret=interpret, mcl_cap=mcl_cap,
-                table_rows=_table_rows(cb))
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS))
+        def _ov(streams_loc, fixed_loc, idx_loc):
+            return jnp.take(
+                jnp.concatenate([streams_loc, fixed_loc]), idx_loc,
+                axis=0)
 
-        p0, p1, bases, cnts = jax.jit(_enc)(
-            d_blocks, d_valid,
-            jax.device_put(cb.codes, rs), jax.device_put(cb.lengths, rs),
-            jax.device_put(np.asarray([mcl], np.int32), rs))
-        return wide_mod._assemble_wide(p0, p1, bases, cnts, cb, n, cfg)
+        return jax.jit(_ov)(
+            streams,
+            jax.device_put(fix_all.reshape(ndev * nfix, cols), bs),
+            jax.device_put(idx_all.reshape(-1), bs))
 
     def decode_wide(self, enc, interpret: bool = False) -> np.ndarray:
         """Sharded wide decode: tiles split over the mesh, payload
