@@ -269,7 +269,7 @@ def decode_wide_pallas(payload: jax.Array, roff0: jax.Array,
     of tile t's substream 128*s + l at [(t*ROUNDS + j)*8 + s, l].
     """
     nt = roff0.shape[0]
-    td = 2 if nt % 2 == 0 else 1     # tiles per grid step (see kernel)
+    td = 4 if nt % 4 == 0 else 2 if nt % 2 == 0 else 1  # tiles/grid step
     permb = jnp.zeros(256, jnp.int32).at[: perm.shape[0]].set(
         perm.astype(jnp.int32)).reshape(2, 128)
     permb = jnp.concatenate([permb, jnp.zeros((6, 128), jnp.int32)])

@@ -76,6 +76,7 @@ def test_golden_avail_invariant():
     (262144, 32, 3, 12),     # exactly one tile
     (40000, 256, 4, 12),     # partial single tile, full alphabet
     (70000, 5, 5, 8),        # small alphabet, shallow codes
+    (900000, 24, 6, 12),     # 4 tiles: the td=4 decode/emit batches
 ])
 def test_kernels_match_golden_interpret(n, nsym, seed, mcap):
     rng = np.random.default_rng(seed)
