@@ -539,8 +539,8 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
     """
     nt = streams_wm.shape[0] // 8
     wcols = streams_wm.shape[1] // 128
-    td = 2 if nt % 2 == 0 else 1   # tiles per grid step (td=4 measured
-    #                                worse: 3.9 vs 3.57 ms at 64 MiB)
+    td = 2 if nt % 2 == 0 else 1   # tiles per grid step (td=4 within
+    #                                noise of td=2 across repeated runs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt // td,),
