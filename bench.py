@@ -301,6 +301,31 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             extra["hist_error"] = str(e)[:80]
 
+        # the PRODUCT codebook build above SAMPLE_MIN_BYTES: histogram
+        # every SAMPLE_EVERY-th block (the host slices blocks for free;
+        # staged here once outside the chain), exact per-byte miss
+        # detection rides the encode kernel (api.encode detect_missing).
+        # Amortized over the full input — the rate a user's build pays.
+        if n >= api.SAMPLE_MIN_BYTES:
+            dbs = jax.device_put(db[:: api.SAMPLE_EVERY])
+            nv_s = int(np.asarray(
+                valid[:: api.SAMPLE_EVERY]).astype(np.int64).sum())
+
+            def mk_hist_sampled():
+                @jax.jit
+                def fn(k, a_db):
+                    def body(_, carry):
+                        nv = nv_s - (carry % 2)
+                        h = hist_ops.histogram_onehot(a_db, n_valid=nv)
+                        return (h[0] ^ h[1]).astype(jnp.int32)
+                    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+                return fn, (dbs,)
+            try:
+                t_hs = slope_time(mk_hist_sampled, "hist_sampled")
+                extra["codebook_build_gbps"] = round(n / t_hs / 1e9, 2)
+            except Exception as e:  # pragma: no cover
+                extra["hist_sampled_error"] = str(e)[:80]
+
     if ("decode" not in skip and use_pallas
             and not over_budget("wide")):
         # Wide kernels are timed DEVICE-RESIDENT (slope method): e2e walls
