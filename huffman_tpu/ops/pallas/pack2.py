@@ -239,31 +239,125 @@ def preshift_streams(block_streams: jax.Array, bit_shift: jax.Array,
     kernel mask with it and never bit-shift.
     """
     nb, cap = block_streams.shape
-    shc = bit_shift.astype(_U32)[:, None]
-    prev = jnp.pad(block_streams, ((0, 0), (1, 0)))[:, :-1]
+    # Every source word is the FLAT predecessor: in-row word j-1, and at
+    # word 0 the previous row's last word (whose masked-shift IS the
+    # spill).  Expressed as two rolls + a column-0 select so the whole
+    # pass stays one elementwise fusion: (nb, 1) column slices lower to
+    # T(1,128) strided relayout copies (~2 ms at 256 MiB, measured in
+    # experiments/probe_pack_fusion.py).
+    s2 = jnp.concatenate([block_streams, jnp.zeros((1, cap), _U32)])
+    in_row = jnp.pad(s2, ((0, 0), (1, 0)))[:, :-1]
+    wrap = jnp.roll(jnp.roll(s2, 1, axis=0), 1, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb + 1, cap), 1)
+    prev = jnp.where(col == 0, wrap, in_row)
+    sh = bit_shift.astype(_U32)
+    sh_own = jnp.concatenate([sh, sh[-1:]])[:, None]     # row nb: dead
+    sh_prev_row = jnp.concatenate([jnp.zeros(1, _U32), sh])[:, None]
+    shp = jnp.where(col == 0, sh_prev_row, sh_own)
     # (x << (31-sh)) << 1 is well-defined for sh in [0,32) and 0 at sh==0
-    xs = _shr_u(block_streams, shc) | _shl_u(_shl_u(prev, 31 - shc),
-                                             _U32(1))
-    spill = _shl_u(_shl_u(block_streams[:, -1:], 31 - shc), _U32(1))
-    spill_prev = jnp.concatenate([jnp.zeros((1, 1), _U32), spill])
-    xs = jnp.concatenate([xs, jnp.zeros((1, cap), _U32)])
-    xs = jnp.concatenate([xs[:, :1] | spill_prev, xs[:, 1:]], axis=1)
+    xs = _shr_u(s2, sh_own) | _shl_u(_shl_u(prev, 31 - shp), _U32(1))
+    return xs, _preshift_nw(bit_shift, block_bits, cap)
+
+
+def _preshift_nw(bit_shift, block_bits, cap: int):
+    """(NB+1,) live word count per preshifted row (pure arithmetic on
+    the bit counts — shared by the XLA and pallas preshift paths)."""
     bits = block_bits.astype(jnp.int32)
     sb = bit_shift.astype(jnp.int32) + bits
     own = jnp.minimum((sb + 31) >> 5, cap)
     recv = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), (sb > cap * 32).astype(jnp.int32)])
-    nw = jnp.maximum(jnp.concatenate([own, jnp.zeros(1, jnp.int32)]), recv)
-    return xs, nw
+    return jnp.maximum(jnp.concatenate([own, jnp.zeros(1, jnp.int32)]),
+                       recv)
+
+
+def _preshift_kernel(sh_ref, shp_ref, s_ref, out_ref, carry_ref, *,
+                     tb: int, nb: int):
+    """One (tb, 128) output block of preshifted rows (cap = 128 words).
+
+    Row r of the output is row r of preshift_streams' result: every
+    source word is the FLAT predecessor (in-row word j-1; at word 0 the
+    previous row's word 127, whose masked shift IS the spill), realized
+    as a lane roll + a sublane roll + a column-0 select.  The previous
+    grid step's last raw row rides in a (1, 128) VMEM scratch (the TPU
+    grid is a sequential loop).  Rows past nb (the spill row and the
+    window-slack tail) are zeros.
+    """
+    i = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, 128), 1)
+    grow = row + i * tb
+    s = jnp.where(grow < nb, s_ref[:], _U32(0))
+    rolled = jnp.roll(s, 1, axis=1)          # [r, 0] = s[r, 127]
+    prev0 = jnp.roll(rolled, 1, axis=0)      # [r, 0] = s[r-1, 127]
+    carry = jnp.where(i == 0, jnp.zeros((1, 128), _U32), carry_ref[:])
+    prev0 = jnp.where(row == 0,
+                      jnp.broadcast_to(jnp.roll(carry, 1, axis=1),
+                                       (tb, 128)), prev0)
+    prev = jnp.where(col == 0, prev0, rolled)
+    sh = sh_ref[:].astype(jnp.uint32)        # (tb, 1) broadcasts
+    shp1 = shp_ref[:].astype(jnp.uint32)
+    shp = jnp.where(col == 0, shp1, sh)
+    out_ref[:] = _shr_u(s, sh) | _shl_u(_shl_u(prev, 31 - shp), _U32(1))
+    carry_ref[:] = s[tb - 1: tb, :]
+
+
+@functools.partial(jax.jit, static_argnames=("total_rows", "interpret"))
+def preshift_rows_pallas(block_streams: jax.Array, bit_shift: jax.Array,
+                         total_rows: int, interpret: bool = False):
+    """Preshift + stage in ONE pallas pass (cap = 128 words only).
+
+    Emits the (total_rows, 128) staged-rows buffer pack_tiles_pallas
+    DMAs from: rows [0, NB] are preshift_streams' result (NB input rows
+    + the spill row), the tail is the zero window slack.  Producing this
+    INSIDE a pallas kernel matters beyond fusing the two passes: an
+    XLA-fusion output feeding a pallas custom call pays a ~2 ms layout
+    relayout copy at 256 MiB, while pallas -> pallas hands off free
+    (experiments/probe_pack_fusion.py).
+    """
+    nb, cap = block_streams.shape
+    if cap != 128:
+        raise ValueError("preshift_rows_pallas requires cap == 128")
+    tb = 256 if nb % 256 == 0 else 32
+    g = -(-total_rows // tb)
+    total = g * tb
+    sh_own = jnp.pad(bit_shift.astype(jnp.int32),
+                     (0, total - nb))[:, None]
+    sh_prev = jnp.pad(bit_shift.astype(jnp.int32),
+                      (1, total - nb - 1))[:, None]
+    gb = nb // tb  # input blocks (nb % tb == 0; tail steps clamp + mask)
+
+    out = pl.pallas_call(
+        functools.partial(_preshift_kernel, tb=tb, nb=nb),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128),
+                         lambda i, _gb=gb: (jnp.minimum(i, _gb - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, 128), _U32),
+        scratch_shapes=[pltpu.VMEM((1, 128), _U32)],
+        interpret=interpret,
+    )(sh_own, sh_prev, block_streams)
+    # NO trailing slice: the extra zero rows are harmless to the pack
+    # kernel, and slicing a pallas output in XLA would reintroduce the
+    # relayout copy this kernel exists to avoid
+    return out
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_tiles", "k_max", "cap_words",
                                     "interpret"))
-def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
+def pack_tiles_pallas(block_streams, word_base: jax.Array,
                       nw: jax.Array, f_tile: jax.Array,
                       n_tiles: int, k_max: int, cap_words: int,
-                      interpret: bool = False):
+                      interpret: bool = False, staged_rows=None):
     """Assemble n_tiles dense 1024-word tiles from per-block streams.
 
     block_streams: (NB, cap_words) u32 PRESHIFTED per-block streams
@@ -281,7 +375,8 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
       the staged window by the sub-alignment offset once per subtile.
     Returns (n_tiles*8, 128) u32 dense rows.
     """
-    nb, cap = block_streams.shape
+    cap = cap_words
+    nb = word_base.shape[0]
     if cap % 128:
         raise ValueError("cap_words must be a multiple of 128")
     if n_tiles % TB:
@@ -293,14 +388,21 @@ def pack_tiles_pallas(block_streams: jax.Array, word_base: jax.Array,
     f_tile = f_tile.astype(jnp.int32)
     f_al = f_tile - (f_tile % align_b)     # 8-row-granular DMA start
     wrows = _wrows(stride, k_max)
-    # stage at stride rows per block, plus a window of trailing zero rows
-    # so the last tile's DMA stays in range
-    rows3 = block_streams.reshape(nb, cap_rows, 128)
-    if cap_rows < stride:
-        rows3 = jnp.pad(rows3, ((0, 0), (0, stride - cap_rows), (0, 0)))
-    rows = rows3.reshape(nb * stride, 128)
-    rows = jnp.concatenate(
-        [rows, jnp.zeros((wrows, 128), _U32)], axis=0)
+    if staged_rows is not None:
+        # pre-staged by preshift_rows_pallas (pallas -> pallas handoff
+        # is free where an XLA-fusion producer pays a relayout copy);
+        # may carry extra zero tail rows beyond nb*stride + wrows
+        rows = staged_rows
+    else:
+        # stage at stride rows per block, plus a window of trailing zero
+        # rows so the last tile's DMA stays in range
+        rows3 = block_streams.reshape(nb, cap_rows, 128)
+        if cap_rows < stride:
+            rows3 = jnp.pad(rows3,
+                            ((0, 0), (0, stride - cap_rows), (0, 0)))
+        rows = rows3.reshape(nb * stride, 128)
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((wrows, 128), _U32)], axis=0)
 
     # meta arrays as flat 1-D (1024-aligned SMEM DMA windows)
     mpad = -(-(nb + _MW) // 1024) * 1024 - nb
@@ -378,6 +480,18 @@ def _pack_prepared(block_streams, block_bits, f_tile, n_tiles, k_max,
     bits = block_bits.astype(jnp.int32)
     off = exclusive_bit_offsets(jnp.concatenate(
         [bits, jnp.zeros(1, jnp.int32)]))        # +1: preshift's spill row
+    nb = block_streams.shape[0]
+    if cap_words == 128 and nb % 32 == 0:
+        # fused pallas preshift+stage: avoids both the separate XLA
+        # preshift pass AND the ~2 ms XLA-fusion -> pallas relayout copy
+        # of the staged rows (experiments/probe_pack_fusion.py)
+        rows = preshift_rows_pallas(block_streams, off.bit_shift[:-1],
+                                    (nb + 1) + _wrows(1, k_max),
+                                    interpret=interpret)
+        nw = _preshift_nw(off.bit_shift[:-1], bits, cap_words)
+        return pack_tiles_pallas(None, off.word_base, nw, f_tile,
+                                 n_tiles, k_max, cap_words,
+                                 interpret=interpret, staged_rows=rows)
     shifted, nw = preshift_streams(block_streams, off.bit_shift[:-1], bits)
     out = pack_tiles_pallas(shifted, off.word_base, nw, f_tile,
                             n_tiles, k_max, cap_words, interpret=interpret)
