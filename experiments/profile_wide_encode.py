@@ -1,13 +1,14 @@
-"""Stage profile of the wide-v2 ENCODE path on TPU.
+"""Stage profile of the PRODUCT wide-v2 ENCODE path on TPU.
 
 Slope-times (traced-k fori_loop chains with real data dependence) each
-device stage:
-  substream encode kernel (encode_tree_chunks @ stop_level 8)
-  relayout (streams -> word-major, l2 transpose)
-  schedule scan (wide._schedule)
-  emit kernel (emit_planes_pallas)
-  full _encode_device
-Prints one JSON line per stage.  HUFF_BENCH_MB controls size (default 64).
+device stage of the speculative product flow (wide.encode_wide):
+  kernel 1: speculative substream encode (wide._sub_encode_device)
+  phase 2: relayout + schedule + emit  (wide._emit_device)
+  full: kernel 1 + phase 2 chained (the flag sync is host-side and tiny)
+plus phase 2's internal split (schedule scan, emit with a precomputed
+streams_wm).  Prints one JSON line per stage.
+HUFF_BENCH_MB controls size (default 64); HUFF_SPEC overrides the policy
+(0 safe / 1 halve+compact16 / 2 halve-only).
 """
 from __future__ import annotations
 
@@ -43,13 +44,19 @@ def main():
         byte_histogram_host(data), min(cfg.max_code_len, 12), cfg.narrow_tol)
     mcl = int(cb.lengths.max())
     mcl_cap = next(b for b in (4, 8, 12) if mcl <= b)
+    trows = api._table_rows(cb)
+    spec = int(os.environ.get("HUFF_SPEC",
+                              wide_mod._spec_policy(cb, mcl_cap)))
+    slot = {0: 128, 2: 64, 1: 32}[spec]
+    max_words = min(8 * mcl_cap, slot) if spec else min(8 * mcl_cap, 126)
     nt = cdiv(n, wk.TILE_BYTES)
     nb = nt * wk.TILE_BYTES // 1024
     blocks = jnp.asarray(api._host_words(
         np.resize(data, nb * 1024).reshape(-1, 1024)))
     valid = jnp.asarray(api.valid_per_block(n, nb, 1024))
     dc, dl = jnp.asarray(cb.codes), jnp.asarray(cb.lengths)
-    print(f"# mcl={mcl} cap={mcl_cap} nt={nt}", file=sys.stderr)
+    print(f"# mcl={mcl} cap={mcl_cap} spec={spec} slot={slot} nt={nt}",
+          file=sys.stderr)
 
     def slope(make_fn, label, reps=4):
         f, args = make_fn()
@@ -65,127 +72,105 @@ def main():
         dt = max((t2 - t1) / reps, 1e-9)
         print(json.dumps({"stage": label, "ms": round(dt * 1e3, 3),
                           "gbps": round(n / dt / 1e9, 2)}), flush=True)
+        return dt
 
-    # full path
-    trows = api._table_rows(cb)
+    def k1(db, dv, dcc):
+        return wide_mod._sub_encode_device(
+            db, dcc, dl, dv, table_rows=trows, mcl_cap=mcl_cap,
+            spec_chunks=spec)
 
-    def mk_full():
+    def mk_k1():
         @jax.jit
-        def f(k, blocks, dc, dl, valid):
+        def f(k, db, dv):
             def body(_, carry):
                 dcc = dc.at[255].set(carry)
-                p0, p1, bases, cnts = wide_mod._encode_device(
-                    blocks, dcc, dl, valid, jnp.int32(mcl),
-                    mcl_cap=mcl_cap, table_rows=trows)
-                return p0[0, 0]
+                out = k1(db, dv, dcc)
+                return out[0][0, 0] ^ out[1][0, 0].astype(jnp.uint32)
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-        return f, (blocks, dc, dl, valid)
-    slope(mk_full, "full_encode_device")
+        return f, (blocks, valid)
+    slope(mk_k1, "kernel1_spec" if spec else "kernel1_safe")
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from huffman_tpu.ops.pallas.encode import (BLOCK_BYTES,
-                                               encode_tree_chunks,
-                                               pack_table)
-    valid_col = valid.astype(jnp.int32)[:, None]
-    t = 128 if nb % 128 == 0 else 32
+    outs = jax.block_until_ready(jax.jit(
+        lambda a, b: k1(a, b, dc))(blocks, valid))
+    streams0, l20 = outs[0], outs[1]
 
-    def _kern(table_ref, valid_ref, words_ref, out_ref, l2_ref):
-        wc = [words_ref[:, :128], words_ref[:, 128:256]]
-        vals, _lens, l2 = encode_tree_chunks(
-            wc, table_ref[:], valid_ref[:, 0:1], stop_level=8,
-            capture_l2=True, no_halve=True)
-        out_ref[:] = jnp.concatenate(vals, axis=1)
-        l2_ref[:] = jnp.concatenate(l2, axis=1)
-
-    def sub_encode(table, v, blocks):
-        return pl.pallas_call(
-            _kern, grid=(nb // t,),
-            in_specs=[
-                pl.BlockSpec((8, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((t, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((t, BLOCK_BYTES // 4), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)],
-            out_specs=(pl.BlockSpec((t, 512), lambda i: (i, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((t, 256), lambda i: (i, 0),
-                                    memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((nb, 512), jnp.uint32),
-                       jax.ShapeDtypeStruct((nb, 256), jnp.int32)),
-        )(table, v, blocks)
-
-    def mk_sub():
+    def mk_phase2():
         @jax.jit
-        def f(k, dc, dl, valid_col, blocks):
+        def f(k, s, l2, dv):
             def body(_, carry):
-                dcc = dc.at[255].set(carry)
-                s, l2 = sub_encode(pack_table(dcc, dl), valid_col, blocks)
-                return s[0, 0]
+                ss = s.at[0, 0].set(carry)
+                p0, _p1, bases, _c = wide_mod._emit_device(
+                    ss, l2, dv, jnp.int32(mcl), max_words=max_words)
+                return p0[0, 0] ^ bases[0, 0].astype(jnp.uint32)
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-        return f, (dc, dl, valid_col, blocks)
-    slope(mk_sub, "substream_encode")
-
-    streams, l2 = jax.jit(sub_encode)(pack_table(dc, dl), valid_col, blocks)
-    streams, l2 = jax.block_until_ready((streams, l2))
-
-    def mk_relayout():
-        @jax.jit
-        def f(k, streams, l2):
-            def body(_, carry):
-                s = streams.at[0, 0].set(carry)
-                swm = s.reshape(nt, wk.N_SUB, 128) \
-                    .reshape(nt, 8, 128, 128).transpose(0, 1, 3, 2) \
-                    .reshape(nt * 8, 128 * 128)
-                lt = l2.reshape(nt, wk.TILE_BYTES // 1024, 4, wk.ROUNDS) \
-                    .transpose(0, 3, 1, 2).reshape(nt, wk.ROUNDS, wk.N_SUB)
-                return swm[0, 0] + lt[0, 0, 0].astype(jnp.uint32)
-            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-        return f, (streams, l2)
-    slope(mk_relayout, "relayout")
-
-    @jax.jit
-    def mk_inputs(streams, l2, valid):
-        swm = streams.reshape(nt, wk.N_SUB, 128) \
-            .reshape(nt, 8, 128, 128).transpose(0, 1, 3, 2) \
-            .reshape(nt * 8, 128 * 128)
-        lt = l2.reshape(nt, wk.TILE_BYTES // 1024, 4, wk.ROUNDS) \
-            .transpose(0, 3, 1, 2).reshape(nt, wk.ROUNDS, wk.N_SUB)
-        nk = wide_mod._nk_device(valid, nt).reshape(nt, wk.N_SUB)
-        return swm, lt, nk
-    streams_wm, l2t, nk = jax.block_until_ready(
-        mk_inputs(streams, l2, valid))
+        return f, (streams0, l20, valid)
+    slope(mk_phase2, "phase2_relayout_sched_emit")
 
     def mk_sched():
+        l2t = l20.reshape(nt, wk.TILE_BYTES // 1024, 4, wk.ROUNDS) \
+            .transpose(0, 3, 1, 2).reshape(nt, wk.ROUNDS, wk.N_SUB)
+        nk = wide_mod._nk_device(valid, nt).reshape(nt, wk.N_SUB)
+        l2t, nk = jax.block_until_ready((l2t, nk))
+
         @jax.jit
-        def f(k, l2t, nk):
+        def f(k, a_l2t, a_nk):
             def body(_, carry):
-                lt = l2t.at[0, 0, 0].set(carry)
-                pos, bases, cnts = wide_mod._schedule(lt, nk,
+                lt = a_l2t.at[0, 0, 0].set(carry)
+                pos, bases, cnts = wide_mod._schedule(lt, a_nk,
                                                       jnp.int32(mcl))
                 return bases[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
         return f, (l2t, nk)
     slope(mk_sched, "schedule_scan")
 
+    def mk_relayout():
+        @jax.jit
+        def f(k, s):
+            def body(_, carry):
+                ss = s.at[0, 0].set(carry)
+                o = wk.relayout_pallas(ss, max_words + 2)
+                return o[0, 0]
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+        return f, (streams0,)
+    slope(mk_relayout, "relayout")
+
+    # emit with a device-resident precomputed streams_wm + schedule
+    streams_wm = wk.relayout_pallas(streams0, max_words + 2)
+    l2t = l20.reshape(nt, wk.TILE_BYTES // 1024, 4, wk.ROUNDS) \
+        .transpose(0, 3, 1, 2).reshape(nt, wk.ROUNDS, wk.N_SUB)
+    nk = wide_mod._nk_device(valid, nt).reshape(nt, wk.N_SUB)
     pos, bases, cnts = jax.block_until_ready(
         jax.jit(lambda a, b: wide_mod._schedule(a, b, jnp.int32(mcl)))(
             l2t, nk))
+    streams_wm = jax.block_until_ready(streams_wm)
     posf = pos.reshape(nt * wk.ROUNDS * 8, 128)
     basesf, cntsf = bases.reshape(-1), cnts.reshape(-1)
 
     def mk_emit():
         @jax.jit
-        def f(k, streams_wm, posf, basesf, cntsf):
+        def f(k, s, p, b, c):
             def body(_, carry):
-                s = streams_wm.at[0, 0].set(carry)
-                p0, p1 = wk.emit_planes_pallas(s, posf, basesf, cntsf,
-                                               max_words=8 * mcl_cap)
+                ss = s.at[0, 0].set(carry)
+                p0, p1 = wk.emit_planes_pallas(ss, p, b, c,
+                                               max_words=max_words)
                 return p0[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
         return f, (streams_wm, posf, basesf, cntsf)
     slope(mk_emit, "emit_planes")
+
+    def mk_full():
+        @jax.jit
+        def f(k, db, dv):
+            def body(_, carry):
+                dcc = dc.at[255].set(carry)
+                out = k1(db, dv, dcc)
+                p0, _p1, bases, _c = wide_mod._emit_device(
+                    out[0], out[1], dv, jnp.int32(mcl),
+                    max_words=max_words)
+                return p0[0, 0] ^ bases[0, 0].astype(jnp.uint32)
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+        return f, (blocks, valid)
+    slope(mk_full, "full_product_device")
 
 
 if __name__ == "__main__":

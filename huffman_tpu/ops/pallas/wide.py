@@ -309,6 +309,68 @@ def decode_wide_pallas(payload: jax.Array, roff0: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# relayout (encode): substream-major kernel-1 streams -> word-major rows
+# ---------------------------------------------------------------------------
+
+def _relayout_kernel(x_ref, o_ref, *, slot: int, wcols: int):
+    """One tile: (256, 4*slot) kernel-1 streams -> (8*wcols, 128) rows.
+
+    Word w of tile substream k = 128s + l sits at out row wcols*s + w,
+    lane l; source is in[32s + (l>>2), slot*(l&3) + w].  ONE in-register
+    transpose T[c, b] per tile, then per group s a static lane gather
+    X[c, l] = T[c, 32s + (l>>2)] with an iota mask keeping i == l&3 and
+    an OR of the four slot-row c-blocks (each lane survives in exactly
+    one).  3.4x the XLA transpose's rate at 64 MiB — and being a pallas
+    producer, the emit kernel consumes it without the XLA-fusion ->
+    custom-call relayout copy (experiments/probe_relayout.py).
+    """
+    T = jnp.transpose(x_ref[:], (1, 0))            # (4*slot, 256)
+    rows = 4 * slot
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    idx = lane >> 2
+    keep = (row // slot) == (lane & 3)
+    zpad = jnp.zeros((rows, 96), _U32)
+    w_live = min(wcols, slot)
+    for s in range(8):
+        Ts = jnp.concatenate([T[:, 32 * s: 32 * s + 32], zpad], axis=1)
+        X = jnp.where(keep, jnp.take_along_axis(Ts, idx, axis=1),
+                      _U32(0))
+        os_ = X[0: slot]
+        for i in range(1, 4):
+            os_ = os_ | X[i * slot: (i + 1) * slot]
+        o_ref[pl.ds(wcols * s, w_live), :] = os_[:w_live]
+        if wcols > slot:
+            o_ref[pl.ds(wcols * s + slot, wcols - slot), :] = \
+                jnp.zeros((wcols - slot, 128), _U32)
+
+
+@functools.partial(jax.jit, static_argnames=("wcols", "interpret"))
+def relayout_pallas(streams: jax.Array, wcols: int,
+                    interpret: bool = False):
+    """(NB, 4*slot) kernel-1 streams -> (NT*8*WCOLS, 128) word rows.
+
+    Output row wcols*(8t + s) + w holds word w of tile t's substreams
+    [128s, 128(s+1)) (lane = substream & 127).  wcols > slot pads zero
+    word rows (the emit select's +2 dead reads); wcols < slot drops the
+    dead tail (safe trees: only 8*mcl+2 of the 128-slot words are read).
+    """
+    nb = streams.shape[0]
+    slot = streams.shape[1] // 4
+    nt = nb // 256
+    return pl.pallas_call(
+        functools.partial(_relayout_kernel, slot=slot, wcols=wcols),
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((256, 4 * slot), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8 * wcols, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * 8 * wcols, 128), _U32),
+        interpret=interpret,
+    )(streams)
+
+
+# ---------------------------------------------------------------------------
 # emit (encode): route word pairs to precomputed plane positions
 # ---------------------------------------------------------------------------
 
@@ -399,7 +461,7 @@ def _row_compact_place2(v0, v1, mask, rank, f):
 
 
 def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
-                 out1_ref, *, max_words: int, td: int):
+                 out1_ref, *, max_words: int, td: int, wcols: int):
     """td tiles per grid step: select each pulling lane's word pair,
     compact to plane positions.  The schedule (pos, bases, per-round
     counts) is precomputed (wide._schedule_arrays).  max_words statically
@@ -420,7 +482,9 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
         cnts = [[] for _ in range(td)]
         for t2 in range(td):
             wcur = states[t2][0]
-            srow = streams_ref[pl.ds(pl.multiple_of(8 * t2, 8), 8), :]
+            S3 = streams_ref[
+                pl.ds(t2 * 8 * wcols, 8 * wcols), :].reshape(8, wcols,
+                                                             128)
             for r in range(RB):
                 j = RB * jb + r
                 posj = pos_ref[
@@ -441,9 +505,9 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
                 # Measured ~free next to the routing
                 # (experiments/probe_emit.py).
                 q = wcur >> 1
-                c0 = [srow[:, (2 * p) * 128:(2 * p + 1) * 128]
+                c0 = [S3[:, 2 * p, :]
                       for p in range((max_words + 2) // 2)]
-                c1 = [srow[:, (2 * p + 1) * 128:(2 * p + 2) * 128]
+                c1 = [S3[:, 2 * p + 1, :]
                       for p in range((max_words + 2) // 2)]
                 level = 0
                 while len(c0) > 1:
@@ -518,11 +582,11 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
                        max_words: int = SUB_WORDS * MAXLEN // 16 + 1):
     """Materialize payload planes from substream streams + schedule.
 
-    streams_wm: (NT*8, WCOLS*128) u32 — substream streams word-major:
-      word w of substream (s,l) of tile t at [8t+s, 128*w + l].  WCOLS
-      (<= SUB_WORDS) may be sliced down to max_words+2 by the caller —
-      the select scan never reads past word max_words+1, so dropping the
-      dead tail halves the relayout + kernel copy-in for mcl <= 8 books.
+    streams_wm: (NT*8*WCOLS, 128) u32 word rows (relayout_pallas): word
+      w of substream 128s + l of tile t at row wcols*(8t + s) + w, lane
+      l.  WCOLS = max_words + 2: the select scan never reads past word
+      max_words+1, so the relayout drops the dead slot tail (or pads the
+      2 dead select columns for exact-fit slots).
     pos: (NT*ROUNDS*8, 128) i32 — plane position of each substream's pull
       in round j (rows 8j..8j+8 of tile t's 512-row block), -1 = no pull.
     bases/cnts: (NT*ROUNDS,) i32 — per-round pull-index base and count
@@ -537,15 +601,15 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
     Returns (P0, P1), each (NT*PLANE_ROWS, 128) u32 (live words per tile
     = per-tile total pulls; rows beyond are unspecified).
     """
-    nt = streams_wm.shape[0] // 8
-    wcols = streams_wm.shape[1] // 128
+    nt = pos.shape[0] // (ROUNDS * 8)
+    wcols = streams_wm.shape[0] // (nt * 8)
     td = 2 if nt % 2 == 0 else 1   # tiles per grid step (td=4 within
     #                                noise of td=2 across repeated runs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt // td,),
         in_specs=[
-            pl.BlockSpec((8 * td, wcols * 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((td * 8 * wcols, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((td * ROUNDS * 8, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -563,7 +627,8 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
             f"streams_wm has {wcols} word columns; the select scan needs "
             f"max_words+2 = {max_words + 2}")
     return pl.pallas_call(
-        functools.partial(_emit_kernel, max_words=max_words, td=td),
+        functools.partial(_emit_kernel, max_words=max_words, td=td,
+                          wcols=wcols),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nt * PLANE_ROWS, 128), _U32),

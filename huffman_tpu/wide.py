@@ -233,20 +233,12 @@ def _emit_device(streams, l2, valid, mcl, interpret: bool = False,
 
     nb = streams.shape[0]
     nt = nb * 1024 // TILE_BYTES
-    slot = streams.shape[1] // 4
 
-    # substream streams word-major per tile: word w of tile substream
-    # k = 128s + l at [8t + s, 128w + l].  The emit select scan never
-    # reads past word max_words+1, so slice the dead word tail BEFORE
-    # the transpose (halves the relayout traffic for mcl <= 8 books) —
-    # or pad with the 2 dead select columns when the slot is exact.
-    wcols = max_words + 2
-    s4 = streams.reshape(nt, N_SUB, slot).reshape(nt, 8, 128, slot)
-    if wcols <= slot:
-        s4 = s4[:, :, :, :wcols]
-    else:
-        s4 = jnp.pad(s4, ((0, 0), (0, 0), (0, 0), (0, wcols - slot)))
-    streams_wm = s4.transpose(0, 1, 3, 2).reshape(nt * 8, wcols * 128)
+    # substream streams -> word rows (see relayout_pallas): a pallas
+    # kernel with an in-register transpose — 3.4x the XLA transpose AND
+    # no XLA-fusion -> custom-call relayout copy at the emit boundary
+    streams_wm = wk.relayout_pallas(streams, max_words + 2,
+                                    interpret=interpret)
 
     # l2 item i of block covers bytes [4i, 4i+4): substream i>>6 of the
     # block, round i&63 -> (NT, ROUNDS, N_SUB) with substream = 4b + s
