@@ -260,15 +260,30 @@ def pack_phase2(mesh: Mesh, n_tiles: int, k_max: int, cap: int,
         word_base_loc = ex_w + (ex_r >> 5)
         bit_shift_loc = ex_r & 31
         if use_pallas:
-            from ..ops.pallas.pack2 import (pack_tiles_pallas,
+            from ..ops.pallas.pack2 import (_preshift_nw, _wrows,
+                                            pack_tiles_pallas,
+                                            preshift_rows_pallas,
                                             preshift_streams)
-            shifted, nw = preshift_streams(streams_loc, bit_shift_loc, bits)
             wb_ext = jnp.concatenate(           # +1: preshift's spill row
                 [word_base_loc,
                  (cw[-1:] + ((cr[-1:] + shard_shift) >> 5))])
-            stream_loc = pack_tiles_pallas(
-                shifted, wb_ext, nw, f_loc.reshape(-1), n_tiles, k_max,
-                cap, interpret=interpret).reshape(-1)
+            if cap == 128 and nb_loc % 32 == 0:
+                # fused pallas preshift+stage (see _pack_prepared): no
+                # separate XLA pass, no XLA->pallas relayout copy
+                rows = preshift_rows_pallas(
+                    streams_loc, bit_shift_loc,
+                    (nb_loc + 1) + _wrows(1, k_max), interpret=interpret)
+                nw = _preshift_nw(bit_shift_loc, bits, cap)
+                stream_loc = pack_tiles_pallas(
+                    None, wb_ext, nw, f_loc.reshape(-1), n_tiles, k_max,
+                    cap, interpret=interpret,
+                    staged_rows=rows).reshape(-1)
+            else:
+                shifted, nw = preshift_streams(streams_loc,
+                                               bit_shift_loc, bits)
+                stream_loc = pack_tiles_pallas(
+                    shifted, wb_ext, nw, f_loc.reshape(-1), n_tiles,
+                    k_max, cap, interpret=interpret).reshape(-1)
         else:
             stream_loc = pack_ops.pack_at_offsets(
                 streams_loc, word_base_loc, bit_shift_loc,
