@@ -124,3 +124,99 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def pos_handoff():
+    """Does laundering the schedule's pos transpose through a pallas
+    row-identity remove the XLA->emit boundary copy, or just move it?"""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import os, time, json
+    import numpy as np
+    sys_mb = int(os.environ.get("HUFF_BENCH_MB", 64))
+    n = sys_mb * 1024 * 1024
+    from huffman_tpu import api, wide as wide_mod
+    from huffman_tpu.codebook import Codebook, byte_histogram_host
+    from huffman_tpu.config import CodecConfig, cdiv
+    from huffman_tpu.ops.pallas import wide as wk
+
+    data = np.random.default_rng(0).integers(0, 32, size=n, dtype=np.int64)
+    data = data.astype(np.uint8)
+    cfg = CodecConfig()
+    cb = Codebook.from_frequencies_auto(
+        byte_histogram_host(data), 12, cfg.narrow_tol)
+    mcl = int(cb.lengths.max())
+    mcl_cap = next(b for b in (4, 8, 12) if mcl <= b)
+    spec = wide_mod._spec_policy(cb, mcl_cap)
+    slot = {0: 128, 2: 64, 1: 32}[spec]
+    max_words = min(8 * mcl_cap, slot) if spec else min(8 * mcl_cap, 126)
+    nt = cdiv(n, wk.TILE_BYTES)
+    nb = nt * wk.TILE_BYTES // 1024
+    blocks = jnp.asarray(api._host_words(
+        np.resize(data, nb * 1024).reshape(-1, 1024)))
+    valid = jnp.asarray(api.valid_per_block(n, nb, 1024))
+    outs = jax.block_until_ready(jax.jit(
+        lambda a, b: wide_mod._sub_encode_device(
+            a, jnp.asarray(cb.codes), jnp.asarray(cb.lengths), b,
+            table_rows=api._table_rows(cb), mcl_cap=mcl_cap,
+            spec_chunks=spec))(blocks, valid))
+    streams0, l20 = outs[0], outs[1]
+
+    def rows_id(x):
+        t = 512
+        g = x.shape[0] // t
+
+        def kern(x_ref, o_ref):
+            o_ref[:] = x_ref[:]
+        return pl.pallas_call(
+            kern, grid=(g,),
+            in_specs=[pl.BlockSpec((t, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((t, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(x)
+
+    def phase2(s, l2, dv, launder):
+        streams_wm = wk.relayout_pallas(s, max_words + 2)
+        l2t = l2.reshape(nt, wk.TILE_BYTES // 1024, 4, wk.ROUNDS) \
+            .transpose(0, 3, 1, 2).reshape(nt, wk.ROUNDS, wk.N_SUB)
+        nk = wide_mod._nk_device(dv, nt).reshape(nt, wk.N_SUB)
+        pos, bases, cnts = wide_mod._schedule(l2t, nk, jnp.int32(mcl))
+        posf = pos.reshape(nt * wk.ROUNDS * 8, 128)
+        if launder:
+            posf = rows_id(posf)
+        return wk.emit_planes_pallas(
+            streams_wm, posf, bases.reshape(-1), cnts.reshape(-1),
+            max_words=max_words)
+
+    def slope(launder, label, reps=4):
+        @jax.jit
+        def f(k, s, l2, dv):
+            def body(_, carry):
+                ss = s.at[0, 0].set(carry)
+                p0, _p1 = phase2(ss, l2, dv, launder)
+                return p0[0, 0]
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        def r(k):
+            t0 = time.perf_counter()
+            out = f(jnp.int32(k), streams0, l20, valid)
+            _ = np.asarray(out).ravel()[0]
+            return time.perf_counter() - t0
+        r(1); r(1 + reps)
+        t1 = min(r(1) for _ in range(2))
+        t2 = min(r(1 + reps) for _ in range(2))
+        print(json.dumps({"stage": label,
+                          "ms": round(max((t2 - t1) / reps, 1e-9) * 1e3,
+                                      3)}), flush=True)
+
+    slope(False, "phase2_direct")
+    slope(True, "phase2_laundered")
+
+
+import os as _os
+if _os.environ.get("HUFF_POS"):
+    pos_handoff()

@@ -498,7 +498,15 @@ class ShardedCodec:
                        config=self.cfg)
 
     def decode(self, enc) -> np.ndarray:
-        """Sharded decode: blocks split over the mesh, stream replicated."""
+        """Sharded DENSE decode: blocks split over the mesh, stream
+        replicated.
+
+        Runs the XLA table-gather reader — correct everywhere, but on
+        real TPU it inherits the dense format's ~0.01 GB/s decode (see
+        api.decode NOTE: a bit-concatenated stream cannot be
+        vector-decoded).  For TPU-speed sharded decode use the wide
+        container (decode_wide, ~23 GB/s/chip) — the CLI's auto format
+        does."""
         from ..api import valid_per_block
         from ..ops import decode as decode_ops
         from ..ops.scan import exclusive_bit_offsets
