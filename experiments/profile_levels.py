@@ -107,19 +107,21 @@ def main():
         # through the 1 KiB table, not the input (an at[].set on the
         # input costs a full-array copy per iteration).
         @jax.jit
-        def chained(k):
+        def chained(k, a_vc, a_dbw, a_table):
             def body(_, carry):
                 # symbol 77 is absent from make_data streams, but row 0 is
                 # READ by the tree head — rows 2-7 are padding a chain
                 # through which XLA may legally hoist
-                tab = table.at[0, 77].set((carry & 3) + 4)
-                o = run(valid_col, dbw, tab)
+                tab = a_table.at[0, 77].set((carry & 3) + 4)
+                o = run(a_vc, a_dbw, tab)
                 return o[0, 0].astype(jnp.int32)
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
         def r(k):
+            # arrays ride as ARGS: a closed-over array lowers to an HLO
+            # constant and blows the remote-compile tunnel at >=256 MiB
             t0 = time.perf_counter()
-            out = chained(k)
+            out = chained(jnp.int32(k), valid_col, dbw, table)
             _ = int(np.asarray(out))
             return time.perf_counter() - t0
         r(1); r(1 + reps)

@@ -23,6 +23,8 @@ from huffman_tpu.ops.pallas.pack2 import pack_dense_parallel
     (3 * 1024, 256, 8, 5),
     (1024, 1, 8, 6),             # degenerate 1-bit/byte codebook
     (6 * 1024 + 11, 4, 4, 7),    # cap 128: 1-row staging (align_b 8)
+    (64 * 1024 - 3, 4, 4, 8),    # cap 128, nb % 32 == 0: the fused
+    #                              pallas preshift+stage path
     pytest.param(2 * 1024 + 999, 256, 16, 4, marks=pytest.mark.slow),
 ])
 def test_pack_parallel_vs_golden(n, nsym, capb, seed):
