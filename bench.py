@@ -225,6 +225,13 @@ def main() -> None:
             # rate + ratio cost next to the default-config headline
             cb8 = Codebook.from_frequencies(freqs, 8)
             dc8, dl8 = jnp.asarray(cb8.codes), jnp.asarray(cb8.lengths)
+            # the PRODUCT schedule for this book (speculative bucket +
+            # tree), exactly like the headline stage
+            sched8 = api._cap_schedule(cfg, 8, cb8.est_bpb)
+            cap8 = sched8[0]
+            halve8 = api._spec_halve_to(cap8, sched8, 8, cb8)
+            c16_8 = api._spec_compact16(cap8, sched8, 8, cb8, halve8)
+            trows8 = api._table_rows(cb8)
 
             def mk_encode8():
                 @jax.jit
@@ -232,8 +239,9 @@ def main() -> None:
                     def body(_, carry):
                         dcc = dc8.at[255].set(carry)
                         out, bits = encode_blocks_pallas(
-                            a_db, dcc, dl8, a_dv, 256, max_code_len=8,
-                            table_rows=trows)
+                            a_db, dcc, dl8, a_dv, cap8, max_code_len=8,
+                            halve_to_chunks=halve8, compact16=c16_8,
+                            table_rows=trows8)
                         return out[0, 0] ^ bits[0].astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
                 return fn, (dbw, dv)
