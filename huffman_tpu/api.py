@@ -549,6 +549,36 @@ def decode(enc: Encoded) -> np.ndarray:
     return np.asarray(out).reshape(-1)[: enc.n_bytes]
 
 
+def decode_range(enc: Encoded, start: int, stop: int) -> np.ndarray:
+    """Decode bytes [start, stop) WITHOUT decoding the whole stream.
+
+    Blocks are independently encoded (the container stores per-block bit
+    counts), so random access costs one offsets scan over the bit counts
+    (tiny) plus a device decode of ONLY the covering blocks — the
+    random-access capability the blocked format exists for (SURVEY.md §5
+    long-context row; the reference's container has the same per-block
+    counts but no reader exploits them).
+    """
+    if not 0 <= start <= stop <= enc.n_bytes:
+        raise ValueError(f"range [{start}, {stop}) outside "
+                         f"[0, {enc.n_bytes})")
+    if start == stop:
+        return np.zeros(0, np.uint8)
+    cfg = enc.config
+    bb = cfg.block_bytes
+    b0, b1 = start // bb, cdiv(stop, bb)
+    valid = valid_per_block(enc.n_bytes, len(enc.block_bits), bb)
+    from .ops.scan import exclusive_bit_offsets
+    offsets = exclusive_bit_offsets(jnp.asarray(enc.block_bits, jnp.int32))
+    syms, lens = enc.codebook.decode_table(cfg.decode_table_bits)
+    stream = np.concatenate([enc.stream_words, np.zeros(2, np.uint32)])
+    out = decode_ops.decode_blocks(
+        jnp.asarray(stream), offsets.word_base[b0:b1],
+        offsets.bit_shift[b0:b1], jnp.asarray(valid[b0:b1]),
+        jnp.asarray(syms), jnp.asarray(lens), bb, cfg.decode_table_bits)
+    return np.asarray(out).reshape(-1)[start - b0 * bb: stop - b0 * bb]
+
+
 def roundtrip_ok(data, cfg: CodecConfig = DEFAULT_CONFIG) -> bool:
     """Encode+decode and compare (the one-call verification helper)."""
     arr = (np.frombuffer(data, dtype=np.uint8)

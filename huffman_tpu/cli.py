@@ -10,6 +10,7 @@ memory and discards the result.
 Usage:
   python -m huffman_tpu encode FILE [-o OUT.htz] [--verify] [--mesh N|auto]
   python -m huffman_tpu decode FILE.htz [-o OUT] [--mesh N|auto]
+                         [--range START:STOP]   # random access
   python -m huffman_tpu roundtrip FILE...        # encode+decode+verify
   python -m huffman_tpu bench FILE [--iters N] [--mesh N|auto]
   python -m huffman_tpu info FILE.htz            # container header dump
@@ -123,13 +124,26 @@ def cmd_encode(args) -> int:
     return rc
 
 
+def _parse_range(spec: str, n: int) -> tuple[int, int]:
+    """START:STOP byte range (either side may be empty)."""
+    a, _, b = spec.partition(":")
+    return (int(a) if a else 0), (int(b) if b else n)
+
+
 def cmd_decode(args) -> int:
     sc = None
     for path in args.files:
         enc = container.load(path)
         with HostTimer() as t:
             from .wide import WideEncoded
-            if isinstance(enc, WideEncoded):
+            if getattr(args, "range", None):
+                start, stop = _parse_range(args.range, enc.n_bytes)
+                if isinstance(enc, WideEncoded):
+                    from . import wide
+                    data = wide.decode_wide_range(enc, start, stop)
+                else:
+                    data = api.decode_range(enc, start, stop)
+            elif isinstance(enc, WideEncoded):
                 if getattr(args, "mesh", None):
                     sc = sc or _mesh_codec(args, enc.config)
                     data = sc.decode_wide(enc)
@@ -270,6 +284,9 @@ def main(argv=None) -> int:
     sp.add_argument("files", nargs="+")
     sp.add_argument("-o", "--output", default=None)
     add_mesh(sp)
+    sp.add_argument("--range", default=None, metavar="START:STOP",
+                    help="decode only bytes [START, STOP): random "
+                    "access via per-block/per-tile container offsets")
     sp.set_defaults(fn=cmd_decode)
 
     sp = sub.add_parser("roundtrip", help="encode+decode+verify, no output")

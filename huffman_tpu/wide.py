@@ -467,6 +467,32 @@ def _decode_plan(enc: WideEncoded):
 
 def decode_wide(enc: WideEncoded, interpret: bool = False) -> np.ndarray:
     """Decode a wide-format stream on the device."""
+    return _decode_wide_tiles(enc, 0, len(enc.tile_words),
+                              interpret)[: enc.n_bytes]
+
+
+def decode_wide_range(enc: WideEncoded, start: int, stop: int,
+                      interpret: bool = False) -> np.ndarray:
+    """Decode bytes [start, stop) decoding ONLY the covering tiles.
+
+    Wide tiles are independent (per-tile word counts + pull bases ride
+    in the container header), so random access costs one device decode
+    of ceil((stop-start)/256 KiB) tiles — the wide twin of
+    api.decode_range.
+    """
+    if not 0 <= start <= stop <= enc.n_bytes:
+        raise ValueError(f"range [{start}, {stop}) outside "
+                         f"[0, {enc.n_bytes})")
+    if start == stop:
+        return np.zeros(0, np.uint8)
+    t0, t1 = start // TILE_BYTES, cdiv(stop, TILE_BYTES)
+    out = _decode_wide_tiles(enc, t0, t1, interpret)
+    return out[start - t0 * TILE_BYTES: stop - t0 * TILE_BYTES]
+
+
+def _decode_wide_tiles(enc: WideEncoded, t0: int, t1: int,
+                       interpret: bool) -> np.ndarray:
+    """Decode tiles [t0, t1) of a wide container -> their raw bytes."""
     from .ops.pallas.wide import decode_wide_pallas
     _require_tpu(interpret, "decode")
     payload, roff0, g0a, roff1, g0b, nk = _decode_plan(enc)
@@ -474,14 +500,16 @@ def decode_wide(enc: WideEncoded, interpret: bool = False) -> np.ndarray:
     mcl = int(enc.codebook.lengths.max(initial=1)) or 1
     tri = np.triu(np.ones((128, 128), np.float32))
     out = decode_wide_pallas(
-        jnp.asarray(payload), jnp.asarray(roff0), jnp.asarray(g0a),
-        jnp.asarray(roff1), jnp.asarray(g0b),
-        jnp.asarray(enc.bases.reshape(-1)), jnp.asarray(lim_b),
+        jnp.asarray(payload), jnp.asarray(roff0[t0:t1]),
+        jnp.asarray(g0a[t0:t1]), jnp.asarray(roff1[t0:t1]),
+        jnp.asarray(g0b[t0:t1]),
+        jnp.asarray(enc.bases[t0:t1].reshape(-1)), jnp.asarray(lim_b),
         jnp.asarray(off), jnp.asarray(np.int32(min_len)),
-        jnp.asarray(tri), jnp.asarray(perm), jnp.asarray(nk),
+        jnp.asarray(tri), jnp.asarray(perm),
+        jnp.asarray(nk[8 * t0: 8 * t1]),
         mcl=mcl, two_row_perm=perm.size > 128, interpret=interpret)
     out = _unpack_wide_output(out)       # device-side relayout
-    return np.asarray(out)[: enc.n_bytes]
+    return np.asarray(out)
 
 
 @jax.jit

@@ -76,3 +76,34 @@ def test_resolve_format(monkeypatch):
     monkeypatch.setattr(jax, "devices", lambda: (_ for _ in ()).throw(
         RuntimeError("no backend")))
     assert cli._resolve_format("auto", False, None) == "dense"
+
+
+def test_decode_range(tmp_path):
+    """--range decodes only the covering blocks (random access)."""
+    from huffman_tpu.utils import testdata
+    data = testdata.skewed(5000, num_symbols=16, seed=44)
+    src = tmp_path / "r.bin"
+    src.write_bytes(data.tobytes())
+    htz = str(tmp_path / "r.htz")
+    out = tmp_path / "r.part"
+    assert cli.main(["encode", str(src), "-o", htz,
+                     "--format", "dense"]) == 0
+    assert cli.main(["decode", htz, "-o", str(out),
+                     "--range", "1000:3500"]) == 0
+    assert out.read_bytes() == data[1000:3500].tobytes()
+
+
+def test_decode_range_wide_api():
+    """wide.decode_wide_range decodes only the covering tiles."""
+    from huffman_tpu import wide
+    from huffman_tpu.codebook import Codebook
+    from huffman_tpu.config import CodecConfig
+    from huffman_tpu.utils import testdata
+    data = testdata.skewed(600_000, num_symbols=32, seed=45)  # 3 tiles
+    cb = Codebook.from_data(data, 12)
+    enc = wide.encode_wide(data, CodecConfig(), codebook=cb,
+                           interpret=True)
+    for a, b in ((0, 100), (300_000, 300_001), (262_100, 530_000),
+                 (599_990, 600_000)):
+        np.testing.assert_array_equal(
+            wide.decode_wide_range(enc, a, b, interpret=True), data[a:b])
