@@ -465,6 +465,50 @@ def main() -> None:
                 return fn, (d_b, d_v)
             t_sh = slope_time(mk_p1, "sharded_encode")
             extra["sharded_encode_kernel_gbps"] = round(n / t_sh / 1e9, 2)
+
+            # sharded WIDE device phases on the 1-device mesh (the
+            # product path of `encode --mesh` on TPU: kernel 1 spec +
+            # relayout/schedule/emit per shard) — evidence the sharded
+            # wide path keeps the fast kernels too
+            import functools
+            from jax import shard_map
+            from huffman_tpu.wide import (_emit_device, _spec_policy,
+                                          _sub_encode_device)
+            mcl_w = int(cb.lengths.max())
+            cap_w = next(b for b in (4, 8, 12) if mcl_w <= b)
+            wspec2 = _spec_policy(cb, cap_w)
+            slot2 = {0: 128, 2: 64, 1: 32}[wspec2]
+            mw2 = (min(8 * cap_w, slot2) if wspec2
+                   else min(8 * cap_w, 126))
+            n_w2 = ex_mb * 1024 * 1024
+            d_bw = jax.device_put(dbw[: n_w2 // 1024], bs)
+            d_vw = jax.device_put(dv[: n_w2 // 1024], bs)
+
+            @functools.partial(
+                shard_map, mesh=mesh, check_vma=False,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+                out_specs=(P(DATA_AXIS),) * 2)
+            def _wstep(b_loc, v_loc, codes, lengths):
+                out = _sub_encode_device(
+                    b_loc, codes, lengths, v_loc, table_rows=trows,
+                    mcl_cap=cap_w, spec_chunks=wspec2)
+                p0, _p1w, basesw, _c = _emit_device(
+                    out[0], out[1], v_loc, jnp.int32(mcl_w),
+                    max_words=mw2)
+                return p0, basesw
+
+            def mk_wsh():
+                @jax.jit
+                def fn(k, a_b, a_v):
+                    def body(_, carry):
+                        dcc = dc.at[255].set(carry)
+                        p0, basesw = _wstep(a_b, a_v, dcc, dl)
+                        return p0[0, 0] ^ basesw[0, 0].astype(jnp.uint32)
+                    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+                return fn, (d_bw, d_vw)
+            t_wsh = slope_time(mk_wsh, "sharded_wide_encode")
+            extra["sharded_wide_encode_gbps"] = round(
+                n_w2 / t_wsh / 1e9, 3)
         except Exception as e:  # pragma: no cover
             extra["sharded_error"] = str(e)[:120]
 
