@@ -39,6 +39,39 @@ class TestContainer:
         with pytest.raises(ValueError, match="magic"):
             container.loads(b"NOPE" + b"\x00" * 64)
 
+    def test_truncation_fuzz(self):
+        """Every strict prefix of a valid container fails CLEANLY
+        (ValueError/struct.error), never decodes garbage or crashes —
+        the failure-detection contract of the self-describing header."""
+        import struct
+        data = testdata.skewed(4000, num_symbols=16, seed=13)
+        blob = container.dumps(api.encode(data))
+        for cut in (0, 3, 4, 11, len(blob) // 2, len(blob) - 1):
+            with pytest.raises((ValueError, struct.error)):
+                container.loads(blob[:cut])
+
+    def test_corrupt_header_fields(self):
+        """Flipped header fields are rejected, not mis-parsed."""
+        data = testdata.skewed(4000, num_symbols=16, seed=14)
+        blob = bytearray(container.dumps(api.encode(data)))
+        bad_ver = bytes(blob[:4]) + (99).to_bytes(4, "little") + bytes(
+            blob[8:])
+        with pytest.raises(ValueError, match="version"):
+            container.loads(bad_ver)
+
+    def test_wide_truncation_fuzz(self):
+        import struct
+        from huffman_tpu import wide
+        from huffman_tpu.codebook import Codebook as CB
+        data = testdata.skewed(5000, num_symbols=16, seed=15)
+        cb = CB.from_data(data, 12)
+        enc = wide.encode_wide(data, CodecConfig(), codebook=cb,
+                               interpret=True)
+        blob = container.dumps_wide(enc)
+        for cut in (0, 7, 32, len(blob) // 2, len(blob) - 1):
+            with pytest.raises((ValueError, struct.error)):
+                container.loads_wide(blob[:cut])
+
     def test_nondefault_config_preserved(self):
         data = testdata.skewed(3000, seed=3)
         cfg = CodecConfig(block_bytes=256, max_code_len=12)
