@@ -269,7 +269,11 @@ def decode_wide_pallas(payload: jax.Array, roff0: jax.Array,
     of tile t's substream 128*s + l at [(t*ROUNDS + j)*8 + s, l].
     """
     nt = roff0.shape[0]
-    td = 4 if nt % 4 == 0 else 2 if nt % 2 == 0 else 1  # tiles/grid step
+    # tiles per grid step: the round chain is VPU-latency-bound, and
+    # independent tiles' chains interleave; measured at 64 MiB (GB/s):
+    # td=2: 14.8, 4: 21.9, 8: 28.2, 16: 36.8, 32: 32.6 (VMEM pressure)
+    td = (16 if nt % 16 == 0 else 8 if nt % 8 == 0 else
+          4 if nt % 4 == 0 else 2 if nt % 2 == 0 else 1)
     permb = jnp.zeros(256, jnp.int32).at[: perm.shape[0]].set(
         perm.astype(jnp.int32)).reshape(2, 128)
     permb = jnp.concatenate([permb, jnp.zeros((6, 128), jnp.int32)])

@@ -147,3 +147,17 @@ def test_canonical_decode_arrays():
             assert got_len == L, (sym, L, got_len)
             idx = (int(v) >> (32 - got_len)) + int(off[got_len])
             assert perm[idx] == sym
+
+
+@pytest.mark.slow
+def test_decode_16_tile_batch_vs_golden():
+    """decode_wide_pallas at td=16 (the 16-tile grid batch): golden-
+    encoded container decoded under the interpreter."""
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 24, size=16 * 262144 - 777).astype(np.uint8)
+    cb = Codebook.from_data(data, 12)
+    payload, tw, bases = _golden_payload(data, cb)
+    enc = wide.WideEncoded(payload, tw, bases.astype(np.int32), cb,
+                           len(data), CFG)
+    dec = wide.decode_wide(enc, interpret=True)
+    assert np.array_equal(dec, data)
