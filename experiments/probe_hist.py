@@ -117,3 +117,82 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def main2():
+    """Round-3 follow-up: layout-friendly A build (no concatenate)."""
+    import jax
+    import jax.numpy as jnp
+
+    mb = int(os.environ.get("HUFF_BENCH_MB", 64))
+    n = mb * 1024 * 1024
+    rng = np.random.default_rng(0)
+    host = (np.log2(rng.integers(1, 1 << 30, size=n // 4 * 4,
+                                 dtype=np.int64)).astype(np.int32)
+            % 32).astype(np.uint8)
+    words = jnp.asarray(host.view(np.uint32))
+    want = np.bincount(host, minlength=256)
+
+    def slope(fn, args, label, reps=4):
+        @jax.jit
+        def chained(k, *a):
+            def body(_, carry):
+                h = fn(carry, *a)
+                return (h[0] ^ h[1]).astype(jnp.int32)
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        def r(k):
+            t0 = time.perf_counter()
+            out = chained(jnp.int32(k), *args)
+            _ = int(np.asarray(out))
+            return time.perf_counter() - t0
+        r(1); r(1 + reps)
+        t1 = min(r(1) for _ in range(2))
+        t2 = min(r(1 + reps) for _ in range(2))
+        dt = max((t2 - t1) / reps, 1e-9)
+        print(json.dumps({"label": label, "ms": round(dt * 1e3, 3),
+                          "gbps": round(n / dt / 1e9, 2)}), flush=True)
+        return dt
+
+    # Lane l of row t holds nibble (l//16) of word t compared against l%16:
+    # A[t, l] = ((w[t] >> 4*(l//16)) & 15) == (l % 15).  One broadcasted
+    # shift + and + compare in native (T,128) layout; A^T A diagonal blocks
+    # (2k+1, 2k) are the (hi_k, lo_k) joint histograms.
+    lane = np.arange(128)
+    SHIFTS = jnp.asarray((4 * (lane // 16)).astype(np.uint32))
+    TARGETS = jnp.asarray((lane % 16).astype(np.uint32))
+
+    def ata2(carry, w, dtype, tile_words):
+        nv_off = carry % 2  # keep a live dependence like the others
+        flat = w.reshape(-1)
+        pad = (-flat.shape[0]) % tile_words
+        if pad:
+            flat = jnp.pad(flat, (0, pad))
+        nt = flat.shape[0] // tile_words
+
+        def tile_fn(acc, chunk):
+            nib = (chunk[:, None] >> SHIFTS[None, :]) & jnp.uint32(15)
+            A = (nib == TARGETS[None, :]).astype(dtype)
+            h = jax.lax.dot_general(A, A, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32
+                                    if dtype == jnp.int8 else jnp.float32)
+            return acc + h.astype(jnp.int32), None
+
+        acc, _ = jax.lax.scan(
+            tile_fn, jnp.zeros((128, 128), jnp.int32),
+            flat.reshape(nt, tile_words))
+        out = jnp.zeros((16, 16), jnp.int32)
+        for k in range(4):
+            out = out + acc[16 * (2 * k + 1): 16 * (2 * k + 1) + 16,
+                            16 * (2 * k): 16 * (2 * k) + 16]
+        return out.reshape(256) + (nv_off - nv_off)
+
+    got = np.asarray(jax.jit(functools.partial(
+        ata2, dtype=jnp.int8, tile_words=1 << 15))(jnp.int32(0), words))
+    assert np.array_equal(got, want), "ata2_i8 mismatch"
+    print("ata2_i8 exact", flush=True)
+    for tw in (1 << 13, 1 << 15, 1 << 17):
+        slope(functools.partial(ata2, dtype=jnp.int8, tile_words=tw),
+              (words,), f"ata2_i8_t{tw}")
+    slope(functools.partial(ata2, dtype=jnp.bfloat16, tile_words=1 << 15),
+          (words,), "ata2_bf16_t32768")
