@@ -115,10 +115,6 @@ def main():
           (words,), "ata_bf16_t32768")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def main2():
     """Round-3 follow-up: layout-friendly A build (no concatenate)."""
     import jax
@@ -155,7 +151,7 @@ def main2():
         return dt
 
     # Lane l of row t holds nibble (l//16) of word t compared against l%16:
-    # A[t, l] = ((w[t] >> 4*(l//16)) & 15) == (l % 15).  One broadcasted
+    # A[t, l] = ((w[t] >> 4*(l//16)) & 15) == (l % 16).  One broadcasted
     # shift + and + compare in native (T,128) layout; A^T A diagonal blocks
     # (2k+1, 2k) are the (hi_k, lo_k) joint histograms.
     lane = np.arange(128)
@@ -163,8 +159,10 @@ def main2():
     TARGETS = jnp.asarray((lane % 16).astype(np.uint32))
 
     def ata2(carry, w, dtype, tile_words):
-        nv_off = carry % 2  # keep a live dependence like the others
-        flat = w.reshape(-1)
+        # real carry dependence: XOR a data-dependent 0/1 into the words
+        # so the fori_loop body cannot be hoisted (advisor round-3 fix)
+        nv_off = (carry % 2).astype(jnp.uint32)
+        flat = w.reshape(-1) ^ nv_off
         pad = (-flat.shape[0]) % tile_words
         if pad:
             flat = jnp.pad(flat, (0, pad))
@@ -185,7 +183,13 @@ def main2():
         for k in range(4):
             out = out + acc[16 * (2 * k + 1): 16 * (2 * k + 1) + 16,
                             16 * (2 * k): 16 * (2 * k) + 16]
-        return out.reshape(256) + (nv_off - nv_off)
+        out = out.reshape(256)
+        # pad words (appended after the xor) are plain 0: all 8 nibbles 0,
+        # so each of the 4 (hi_k, lo_k) blocks counts each pad word once
+        # in bin 0 (advisor round-3 fix: don't overcount bin 0)
+        if pad:
+            out = out.at[0].add(-4 * pad)
+        return out
 
     got = np.asarray(jax.jit(functools.partial(
         ata2, dtype=jnp.int8, tile_words=1 << 15))(jnp.int32(0), words))
@@ -196,3 +200,10 @@ def main2():
               (words,), f"ata2_i8_t{tw}")
     slope(functools.partial(ata2, dtype=jnp.bfloat16, tile_words=1 << 15),
           (words,), "ata2_bf16_t32768")
+
+
+if __name__ == "__main__":
+    if "--ata2" in sys.argv:
+        main2()
+    else:
+        main()

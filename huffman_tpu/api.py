@@ -438,11 +438,20 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
     # full histogram if some symbol was seen only outside the sample.
     sampled = (codebook is None and model is None
                and _pallas_ok(cfg) and n >= SAMPLE_MIN_BYTES)
+    # An explicitly supplied codebook (direct or via model) may lack codes
+    # for symbols the input contains; encoding those is undefined, so the
+    # contract is a ValueError.  On the Mosaic path the kernel's exact
+    # per-byte miss detection does the check for ~3 ALU/byte (no host
+    # pass); the XLA fallback uses an O(n) bincount (never np.unique —
+    # that is a full host SORT, seconds at 1 GiB).
+    explicit_cb = codebook is not None
     cb = codebook or build_codebook(
         data, cfg, sample_every=SAMPLE_EVERY if sampled else 1)
-    if codebook is not None and np.any(
-            (cb.lengths[np.unique(blocks.reshape(-1)[:n])] == 0)):
-        raise ValueError("input contains symbols absent from the codebook")
+    if explicit_cb and not _pallas_ok(cfg):
+        counts = np.bincount(blocks.reshape(-1)[:n], minlength=256)
+        if np.any((counts > 0) & (cb.lengths == 0)):
+            raise ValueError(
+                "input contains symbols absent from the codebook")
     valid = valid_per_block(n, blocks.shape[0], cfg.block_bytes)
     if _pallas_ok(cfg):
         from .ops.pallas.encode import BITS_MASK, encode_blocks_pallas
@@ -463,7 +472,7 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
                     streams, bits_raw = _encode_blocks_chunked(
                         blocks, valid, cb.codes, cb.lengths, cap, kmcl,
                         halve_to, compact16, trows,
-                        detect_missing=sampled)
+                        detect_missing=sampled or explicit_cb)
                 else:
                     nb0 = blocks.shape[0]
                     nbb = _bucket_blocks(nb0)
@@ -476,8 +485,12 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
                         bb, jnp.asarray(cb.codes), jnp.asarray(cb.lengths),
                         vv, cap, max_code_len=kmcl,
                         halve_to_chunks=halve_to, compact16=compact16,
-                        table_rows=trows, detect_missing=sampled)
+                        table_rows=trows,
+                        detect_missing=sampled or explicit_cb)
                     bits_raw = np.asarray(bits_dev)
+                if explicit_cb and ((bits_raw >> 31) & 1).any():
+                    raise ValueError(
+                        "input contains symbols absent from the codebook")
                 if sampled and ((bits_raw >> 31) & 1).any():
                     # a valid byte had no code in the sampled codebook —
                     # rebuild exactly and redo (rare: the symbol appeared
@@ -568,13 +581,24 @@ def decode_range(enc: Encoded, start: int, stop: int) -> np.ndarray:
     bb = cfg.block_bytes
     b0, b1 = start // bb, cdiv(stop, bb)
     valid = valid_per_block(enc.n_bytes, len(enc.block_bits), bb)
-    from .ops.scan import exclusive_bit_offsets
-    offsets = exclusive_bit_offsets(jnp.asarray(enc.block_bits, jnp.int32))
+    # Host-side exact offsets (int64 host math is free at NB scale), then
+    # upload ONLY the covering word span [word_base[b0], end+2) with
+    # word_base rebased — device H2D bytes are proportional to the
+    # requested range, not the whole stream.
+    ends = np.cumsum(enc.block_bits.astype(np.int64))
+    starts = ends - enc.block_bits
+    word_base = (starts >> 5).astype(np.int64)
+    bit_shift = (starts & 31).astype(np.int32)
+    w0 = int(word_base[b0])
+    w_end = int(-(-ends[b1 - 1] // 32)) + 2     # tail slack for window peek
     syms, lens = enc.codebook.decode_table(cfg.decode_table_bits)
-    stream = np.concatenate([enc.stream_words, np.zeros(2, np.uint32)])
+    span = np.zeros(w_end - w0, np.uint32)
+    real = enc.stream_words[w0: min(w_end, enc.stream_words.size)]
+    span[: real.size] = real
     out = decode_ops.decode_blocks(
-        jnp.asarray(stream), offsets.word_base[b0:b1],
-        offsets.bit_shift[b0:b1], jnp.asarray(valid[b0:b1]),
+        jnp.asarray(span),
+        jnp.asarray((word_base[b0:b1] - w0).astype(np.int32)),
+        jnp.asarray(bit_shift[b0:b1]), jnp.asarray(valid[b0:b1]),
         jnp.asarray(syms), jnp.asarray(lens), bb, cfg.decode_table_bits)
     return np.asarray(out).reshape(-1)[start - b0 * bb: stop - b0 * bb]
 

@@ -146,7 +146,8 @@ def encode_step(mesh: Mesh, capacity_words: int):
 def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
                   max_code_len: int = 16, with_hist: bool = True,
                   halve_to: int = 0, interpret: bool = False,
-                  compact16: bool = False, table_rows: int = 2):
+                  compact16: bool = False, table_rows: int = 2,
+                  detect_missing: bool = False):
     """Sharded phase 1: block encode + shard scan base (+ psum histogram).
 
     On TPU the per-shard block encode is the Mosaic tree kernel
@@ -184,7 +185,7 @@ def encode_phase1(mesh: Mesh, capacity_words: int, use_pallas: bool,
                 blocks_loc, codes, lengths, valid_loc, cap,
                 max_code_len=max_code_len, halve_to_chunks=halve_to,
                 interpret=interpret, compact16=compact16,
-                table_rows=table_rows)
+                table_rows=table_rows, detect_missing=detect_missing)
             bc = bits & BITS_MASK
         else:
             packed, bits = encode_ops.encode_blocks(
@@ -420,6 +421,16 @@ class ShardedCodec:
             use_pallas = _use_pallas_default()
         cfg = self.cfg
         blocks, valid, n = self.prepare(data)
+        # An explicitly supplied codebook may lack codes for symbols the
+        # input contains — same ValueError contract as api.encode: the
+        # Mosaic kernel's exact per-byte miss detection on the pallas
+        # path, an O(n) host bincount (never a sort) on the XLA path.
+        explicit_cb = codebook is not None
+        if explicit_cb and not use_pallas:
+            counts = np.bincount(blocks.reshape(-1)[:n], minlength=256)
+            if np.any((counts > 0) & (codebook.lengths == 0)):
+                raise ValueError(
+                    "input contains symbols absent from the codebook")
         d_blocks, d_valid = self.shard_inputs(blocks, valid,
                                               as_words=use_pallas)
         if codebook is None:
@@ -439,10 +450,14 @@ class ShardedCodec:
                 p1 = encode_phase1(self.mesh, cap_try, True, kmcl,
                                    with_hist=False, halve_to=halve_to,
                                    interpret=interpret, compact16=c16,
-                                   table_rows=_table_rows(codebook))
+                                   table_rows=_table_rows(codebook),
+                                   detect_missing=explicit_cb)
                 streams, bits_dev, shard_word, shard_shift = p1(
                     d_blocks, d_valid, d_codes, d_lens)
                 bits_raw = np.asarray(bits_dev)
+                if explicit_cb and ((bits_raw >> 31) & 1).any():
+                    raise ValueError(
+                        "input contains symbols absent from the codebook")
                 bits = bits_raw & BITS_MASK
                 if (int(bits.max(initial=0)) <= cap_try * 32
                         or cap_try == sched[-1]):
@@ -704,10 +719,14 @@ class ShardedCodec:
 
     def decode_wide(self, enc, interpret: bool = False) -> np.ndarray:
         """Sharded wide decode: tiles split over the mesh, payload
-        replicated (the same layout the dense sharded decode uses for its
-        stream — per-tile payload spans are data-dependent, so a static
-        all-to-all split would re-materialize the gather XLA already does
-        for free on replicated operands)."""
+        SHARDED — each device receives only its own tiles' word span.
+
+        Per-tile payload spans are known on host from the container's
+        tile_words (an exclusive cumsum), so each shard's covering slice
+        is a cheap host gather: per-device payload bytes are ~total/ndev
+        (padded to the max shard span for one static kernel shape), not
+        O(total) as a replicated stream would be — the decode mirror of
+        the encode path's ordered per-shard assembly."""
         from .. import wide as wide_mod
         from ..ops.pallas.wide import decode_wide_pallas
         if enc.n_bytes == 0:
@@ -719,7 +738,18 @@ class ShardedCodec:
             enc = dataclasses.replace(
                 enc, tile_words=np.pad(enc.tile_words, (0, ntp - nt)),
                 bases=np.pad(enc.bases, ((0, ntp - nt), (0, 0))))
-        payload, roff0, g0a, roff1, g0b, nk = wide_mod._decode_plan(enc)
+        nt_loc = ntp // ndev
+        plans = [wide_mod._decode_plan(enc, s * nt_loc, (s + 1) * nt_loc)
+                 for s in range(ndev)]
+        rows = max(p[0].shape[0] for p in plans)   # pow2-bucketed already
+        payload_all = np.zeros((ndev, rows, 128), np.uint32)
+        for s, p in enumerate(plans):
+            payload_all[s, : p[0].shape[0]] = p[0]
+        roff0 = np.concatenate([p[1] for p in plans])
+        g0a = np.concatenate([p[2] for p in plans])
+        roff1 = np.concatenate([p[3] for p in plans])
+        g0b = np.concatenate([p[4] for p in plans])
+        nk = np.concatenate([p[5] for p in plans])
         lim_b, off, perm, min_len = enc.codebook.canonical_decode_arrays()
         mcl = int(enc.codebook.lengths.max(initial=1)) or 1
         tri = np.triu(np.ones((128, 128), np.float32))
@@ -728,19 +758,19 @@ class ShardedCodec:
 
         @functools.partial(
             shard_map, mesh=self.mesh, check_vma=False,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                      P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(),
-                      P(), P(DATA_AXIS)),
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P(),
+                      P(), P(), P(), P(DATA_AXIS)),
             out_specs=P(DATA_AXIS))
-        def _dec(payload_r, r0, a0, r1, b0, bases_l, limb, offv, minl,
+        def _dec(payload_l, r0, a0, r1, b0, bases_l, limb, offv, minl,
                  tri_r, perm_r, nk_l):
             return decode_wide_pallas(
-                payload_r, r0, a0, r1, b0, bases_l, limb, offv, minl,
-                tri_r, perm_r, nk_l, mcl=mcl,
+                payload_l.reshape(-1, 128), r0, a0, r1, b0, bases_l,
+                limb, offv, minl, tri_r, perm_r, nk_l, mcl=mcl,
                 two_row_perm=perm.size > 128, interpret=interpret)
 
         out = jax.jit(_dec)(
-            jax.device_put(payload, rs),
+            jax.device_put(payload_all, bs),
             jax.device_put(roff0, bs), jax.device_put(g0a, bs),
             jax.device_put(roff1, bs), jax.device_put(g0b, bs),
             jax.device_put(enc.bases.reshape(-1).astype(np.int32), bs),

@@ -437,32 +437,47 @@ def _assemble_wide(p0, p1, bases, cnts, cb: Codebook, n: int,
         tile_words, bases.astype(np.int32), cb, n, cfg)
 
 
-def _decode_plan(enc: WideEncoded):
-    """Container -> device-ready decode operands (all NumPy)."""
+def _decode_plan(enc: WideEncoded, t0: int = 0, t1: int | None = None):
+    """Container -> device-ready decode operands for tiles [t0, t1).
+
+    All NumPy.  The payload buffer holds ONLY the covering word span
+    (sliced at a 1024-word row-group boundary so the kernel's 8-row DMA
+    alignment is preserved) — device H2D bytes for a range decode are
+    proportional to the range, not the whole stream (the per-tile spans
+    are known on host from tile_words).  Row offsets are rebased to the
+    slice.
+    """
     from .ops.pallas.wide import _PBUF_ROWS
-    nt = len(enc.tile_words)
+    nt_all = len(enc.tile_words)
+    if t1 is None:
+        t1 = nt_all
+    nt = t1 - t0
     tw = enc.tile_words.astype(np.int64)
-    tile_start = np.concatenate([[0], np.cumsum(2 * tw)[:-1]])
-    s0 = tile_start                       # P0 word start
-    s1 = tile_start + tw                  # P1 word start
+    tile_start = np.concatenate([[0], np.cumsum(2 * tw)])
+    # covering words, aligned down to an 8-row (1024-word) group
+    w_lo = (int(tile_start[t0]) >> 10) << 10
+    w_hi = int(tile_start[t1])
+    s0 = tile_start[t0:t1] - w_lo         # P0 word start, rebased
+    s1 = s0 + tw[t0:t1]                   # P1 word start
     roff0 = ((s0 >> 7) & ~np.int64(7)).astype(np.int32)
     g0a = (s0 - (roff0.astype(np.int64) << 7)).astype(np.int32)
     roff1 = ((s1 >> 7) & ~np.int64(7)).astype(np.int32)
     g0b = (s1 - (roff1.astype(np.int64) << 7)).astype(np.int32)
 
-    total = int(2 * tw.sum())
-    rows_needed = (total + 127) // 128 + _PBUF_ROWS
+    rows_needed = (w_hi - w_lo + 127) // 128 + _PBUF_ROWS
     rows = 1 << 9
     while rows < rows_needed:
         rows *= 2
     payload = np.zeros(rows * 128, np.uint32)
-    payload[: enc.payload_words.size] = enc.payload_words
+    real = enc.payload_words[w_lo: min(w_hi, enc.payload_words.size)]
+    payload[: real.size] = real
 
     nk = _sub_valid(enc.n_bytes)
-    if len(nk) < nt * N_SUB:
-        nk = np.pad(nk, (0, nt * N_SUB - len(nk)))
+    if len(nk) < nt_all * N_SUB:
+        nk = np.pad(nk, (0, nt_all * N_SUB - len(nk)))
+    nk = nk[t0 * N_SUB: t1 * N_SUB]
     return (payload.reshape(rows, 128), roff0, g0a, roff1, g0b,
-            nk[: nt * N_SUB].reshape(nt * 8, 128))
+            nk.reshape(nt * 8, 128))
 
 
 def decode_wide(enc: WideEncoded, interpret: bool = False) -> np.ndarray:
@@ -495,18 +510,17 @@ def _decode_wide_tiles(enc: WideEncoded, t0: int, t1: int,
     """Decode tiles [t0, t1) of a wide container -> their raw bytes."""
     from .ops.pallas.wide import decode_wide_pallas
     _require_tpu(interpret, "decode")
-    payload, roff0, g0a, roff1, g0b, nk = _decode_plan(enc)
+    payload, roff0, g0a, roff1, g0b, nk = _decode_plan(enc, t0, t1)
     lim_b, off, perm, min_len = enc.codebook.canonical_decode_arrays()
     mcl = int(enc.codebook.lengths.max(initial=1)) or 1
     tri = np.triu(np.ones((128, 128), np.float32))
     out = decode_wide_pallas(
-        jnp.asarray(payload), jnp.asarray(roff0[t0:t1]),
-        jnp.asarray(g0a[t0:t1]), jnp.asarray(roff1[t0:t1]),
-        jnp.asarray(g0b[t0:t1]),
+        jnp.asarray(payload), jnp.asarray(roff0),
+        jnp.asarray(g0a), jnp.asarray(roff1),
+        jnp.asarray(g0b),
         jnp.asarray(enc.bases[t0:t1].reshape(-1)), jnp.asarray(lim_b),
         jnp.asarray(off), jnp.asarray(np.int32(min_len)),
-        jnp.asarray(tri), jnp.asarray(perm),
-        jnp.asarray(nk[8 * t0: 8 * t1]),
+        jnp.asarray(tri), jnp.asarray(perm), jnp.asarray(nk),
         mcl=mcl, two_row_perm=perm.size > 128, interpret=interpret)
     out = _unpack_wide_output(out)       # device-side relayout
     return np.asarray(out)
