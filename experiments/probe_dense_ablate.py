@@ -116,7 +116,7 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
         return fn
 
-    def slope(fn, label, reps=4):
+    def slope(fn, label, reps=64):
         def r(k):
             t0 = time.perf_counter()
             out = fn(jnp.int32(k), words, valid)

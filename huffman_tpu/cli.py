@@ -256,7 +256,7 @@ def main(argv=None) -> int:
     def add_mesh(sp):
         sp.add_argument("--mesh", default=None, metavar="N|auto",
                         help="shard over the first N (or all) devices via "
-                        "ShardedCodec (dense format)")
+                        "ShardedCodec (dense and wide formats)")
 
     def add_common(sp, output=False):
         sp.add_argument("files", nargs="+")

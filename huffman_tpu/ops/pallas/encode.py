@@ -252,6 +252,86 @@ def _merge_compact16(vals, alenc, n_items: int, S: int, it):
     return new_vals, new_alenc, viol
 
 
+def _pack_finish(vals, alenc, n_items: int, S: int, it):
+    """Replace the remaining single-chunk doubling merges with ONE
+    per-dest-word covering-item search + funnel assembly.
+
+    State: n_items items of item_bytes = 8*S... (i.e. the single-chunk
+    regime: item i's left-aligned stream in lanes [S*i, S*(i+1)), exact
+    per-item bit totals in compact alenc lane i).  The log2(n_items)
+    remaining merge levels each pay ~5 gather-class ops; this finish pays
+    one prefix scan + one binary search + C candidate funnels TOTAL:
+
+      dest word j's bits start inside item s = rightmost item with
+      off <= 32j (offs are the exclusive prefix of the item bit totals,
+      monotone; zero-length items — the invalid-byte tail of a partial
+      block — are pinned past the end so the search skips them); the
+      word is then completed by items s+1..s+C-1, where
+      C = 32 // min_item_bits + 1 and min_item_bits = item bytes x the
+      1-bit minimum code length.
+
+    Requires len(vals) == 1 (the speculative product trees: compact16 or
+    mcl <= 4 halvings).  Dest lanes past the block's total bits carry
+    garbage (the dense pack masks by exact bit counts; the old merges
+    produced zeros there).  Returns (vals', lens') in the
+    encode_tree_chunks output contract: one chunk, lens broadcast to the
+    item total.
+    """
+    item_bytes = 1024 // n_items
+    C = 32 // item_bytes + 1
+    big = jnp.int32(1 << 20)
+    lens = jnp.where(it < n_items, alenc[0], 0)
+    incl = lens
+    k = 1
+    while k < n_items:
+        incl = incl + jnp.where(it >= k, jnp.roll(incl, k, axis=1), 0)
+        k *= 2
+    off = incl - lens
+    t = vals[0].shape[0]
+    total = jnp.take_along_axis(
+        incl, jnp.full((t, 128), n_items - 1, jnp.int32), axis=1)
+    off_eff = jnp.where((lens == 0) | (it >= n_items), big, off)
+    bitpos = 32 * it
+    s = jnp.zeros_like(it)
+    step = n_items >> 1
+    while step:
+        cand = s + step
+        oc = jnp.take_along_axis(off_eff,
+                                 jnp.minimum(cand, n_items - 1), axis=1)
+        s = jnp.where((cand < n_items) & (oc <= bitpos), cand, s)
+        step >>= 1
+    # c = 0: the covering item's within-slot funnel at local bit lb
+    off_s = jnp.take_along_axis(off, s, axis=1)
+    lb = bitpos - off_s
+    w = lb >> 5
+    sh = (lb & 31).astype(_U32)
+    v0 = jnp.take_along_axis(vals[0], jnp.clip(S * s + w, 0, 127), axis=1)
+    acc = _shl_u(v0, sh)
+    if S > 1:
+        v1 = jnp.take_along_axis(vals[0],
+                                 jnp.clip(S * s + w + 1, 0, 127), axis=1)
+        v1 = jnp.where(w + 1 < S, v1, _U32(0))
+        acc = acc | _shr_u(_shr_u(v1, _U32(31) - sh), _U32(1))
+    # c >= 1: items starting inside the dest word contribute their head
+    for c in range(1, C):
+        idx_c = jnp.minimum(s + c, n_items - 1)
+        off_c = jnp.take_along_axis(off_eff, idx_c, axis=1)
+        # s+c past the last item would alias item n_items-1's offset
+        # while the value gather clips to a different lane — mask it
+        live = (s + c < n_items) & (off_c > bitpos) & (off_c < bitpos + 32)
+        v_c = jnp.take_along_axis(vals[0],
+                                  jnp.clip(S * (s + c), 0, 127), axis=1)
+        acc = acc | jnp.where(live,
+                              _shr_u(v_c, (off_c - bitpos).astype(_U32)),
+                              _U32(0))
+    # zero the fully-dead words: downstream consumers assume left-aligned
+    # streams with zero tails (preshift_streams ORs the previous row's
+    # word cap-1 into the next row's word 0 as the spill; seam words OR
+    # the previous block's final word) — garbage here corrupts seams
+    acc = jnp.where(bitpos < total, acc, _U32(0))
+    return [acc], [total]
+
+
 def _expand_lens(alenc, S: int, it, n_chunks: int):
     """Compact per-item lens -> v1 per-lane lens (item total at every lane
     of the item's span), for the public encode_tree_chunks contract."""
@@ -434,6 +514,7 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
         item_bytes *= 2
     # standard doubling merges (with the optional fused merge-compact at
     # the 8 -> 16 byte level)
+    finished = False
     while n_items > n_stop:
         if (compact16 and item_bytes == 8 and len(vals) > 1
                 and n_items == 128 and S in (2, 4) and n_stop < 64):
@@ -443,6 +524,14 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
             item_bytes = 16
             S = 2
             continue
+        if (n_stop == 1 and len(vals) == 1 and len(alenc) == 1
+                and item_bytes >= 8 and item_bytes * n_items == 1024
+                and n_items * S == 128):
+            # single-chunk regime: one search+funnel pass replaces the
+            # remaining log2(n_items) merge levels (see _pack_finish)
+            vals, lens = _pack_finish(vals, alenc, n_items, S, it)
+            finished = True
+            break
         oc = (min(cap_chunks, len(vals))
               if cap_chunks and n_items == 2 * n_stop else 0)
         vals, alenc = merge_level_v2(vals, alenc, n_items, S, it,
@@ -452,7 +541,8 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
         item_bytes *= 2
         S *= 2
 
-    lens = _expand_lens(alenc, max(S, 1), it, len(vals))
+    if not finished:
+        lens = _expand_lens(alenc, max(S, 1), it, len(vals))
     out = [vals, lens]
     if capture_l2:
         out.append(l2)

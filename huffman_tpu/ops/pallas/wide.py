@@ -422,50 +422,76 @@ def _rows_compact(v0, v1, mask, rank):
     return a0, a1, rmin
 
 
-def _place8(a0, a1, rmin, f, pend0, pend1):
+def _place8(a0, a1, rmin, f, pend0, pend1, end):
     """OR an 8-row compacted group into the (16, 128) pending window at
     flat positions f + rmin_r + lane (monotone run placement).
 
-    Runs are disjoint spans of [f, f + total) — global ranks are dense
-    across the group's rows — so OR-merging the two wrap parts of every
-    row is exact.  One per-row-rotate lane gather per plane plus cheap
-    row-compare selects; empty rows carry garbage rmin but all-zero
-    values, and ORing zeros anywhere is harmless.
+    Runs are disjoint spans of [f, end) — global ranks are dense across
+    the group's rows — so the window is covered by at most one source
+    row per position.  INVERTED placement (round-4 rewrite, ~2x fewer
+    vector ops than the old per-source-row broadcast-OR loop): for every
+    window position p the covering source row is searchsorted(start, p)
+    via 8 broadcast compares (starts are made monotone by a suffix-min
+    that collapses empty rows — their rmin is the min-identity 1<<20),
+    then ONE 8-deep sublane gather per plane fetches the pre-rotated
+    row.  Rotation: value at p is a[r, p - start_r] and
+    (p - start_r) mod 128 == (lane - start_r) mod 128 with
+    0 <= p - start_r < 128 (runs are <= 128 long), so the per-row lane
+    rotate makes every window row read the right word; positions past
+    `end` are masked (the rotate would wrap back into live words).
+
+    end: (1, 1) flat position one past the group's last word (the
+    caller's f + round count).  Empty rows: suffix-min gives them the
+    next live row's start, and the count-minus-one picks the LAST row
+    with start <= p, which is live.
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    start = f + rmin                       # (8, 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    big = jnp.int32(1 << 20)
+    # Work at (8,128) so every per-row slice below is a REAL (1,128)
+    # vector (sublane-only broadcast against (16,128)) — (1,1) slices
+    # carry a pinned {0,0} layout whose both-axes broadcast Mosaic
+    # cannot lower.  Monotone starts: suffix min (sublane rolls) folds
+    # empty rows (min-identity rmin) into their successor.
+    start = f + jnp.broadcast_to(rmin, (8, 128))
+    for k in (1, 2, 4):
+        nxt = jnp.where(row8 < 8 - k, jnp.roll(start, -k, axis=0), big)
+        start = jnp.minimum(start, nxt)
     sh = start & 127
     rot = (lane - sh) & 127                # per-row rotate index
     r0 = jnp.take_along_axis(a0, rot, axis=1)
     r1 = jnp.take_along_axis(a1, rot, axis=1)
-    drow = start >> 7                      # (8, 1) in [0, 16)
     row16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+    flat = row16 * 128 + lane16
+    cnt = jnp.zeros((16, 128), jnp.int32)
     for r in range(8):
-        # (1,1) slices broadcast against (16,128) — never a vector->
-        # scalar extraction (those reduce through SMEM at ~100x the cost).
-        # Wrapped lanes land one row further: fold the wrap into the
-        # target-row compare (a bool-valued where lowers to an i1 select
-        # Mosaic rejects at 16 rows).
-        dr = drow[r: r + 1, 0: 1]
-        shr = sh[r: r + 1, 0: 1]
-        hit = row16 == dr + (lane16 < shr).astype(jnp.int32)
-        pend0 = pend0 | jnp.where(
-            hit, jnp.broadcast_to(r0[r: r + 1], (16, 128)), _U32(0))
-        pend1 = pend1 | jnp.where(
-            hit, jnp.broadcast_to(r1[r: r + 1], (16, 128)), _U32(0))
+        cnt = cnt + (flat >= start[r: r + 1])
+    live = (cnt > 0) & (flat < end)
+    src = jnp.clip(cnt - 1, 0, 7)
+    # 8-deep sublane gathers, one per window half (Mosaic's gather wants
+    # indices shaped like the operand)
+    g0 = jnp.concatenate([jnp.take_along_axis(r0, src[:8], axis=0),
+                          jnp.take_along_axis(r0, src[8:], axis=0)])
+    g1 = jnp.concatenate([jnp.take_along_axis(r1, src[:8], axis=0),
+                          jnp.take_along_axis(r1, src[8:], axis=0)])
+    pend0 = pend0 | jnp.where(live, g0, _U32(0))
+    pend1 = pend1 | jnp.where(live, g1, _U32(0))
     return pend0, pend1
 
 
 def _row_compact_place2(v0, v1, mask, rank, f):
     """Single-round route: compact + place (see _rows_compact/_place8)."""
     a0, a1, rmin = _rows_compact(v0, v1, mask, rank)
+    end = f + jnp.sum(mask.astype(jnp.int32))
     return _place8(a0, a1, rmin, f,
-                   jnp.zeros((16, 128), _U32), jnp.zeros((16, 128), _U32))
+                   jnp.zeros((16, 128), _U32), jnp.zeros((16, 128), _U32),
+                   end)
 
 
 def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
-                 out1_ref, *, max_words: int, td: int, wcols: int):
+                 out1_ref, *, max_words: int, td: int, wcols: int,
+                 _ablate: str = ""):
     """td tiles per grid step: select each pulling lane's word pair,
     compact to plane positions.  The schedule (pos, bases, per-round
     counts) is precomputed (wide._schedule_arrays).  max_words statically
@@ -508,6 +534,10 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
                 # the 3*P compare+select linear scan (P = pair count).
                 # Measured ~free next to the routing
                 # (experiments/probe_emit.py).
+                if "sel" in _ablate:          # probe-only: fixed pair
+                    sels.append((S3[:, 0, :], S3[:, 1, :]))
+                    wcur = wcur + 2 * pull.astype(jnp.int32)
+                    continue
                 q = wcur >> 1
                 c0 = [S3[:, 2 * p, :]
                       for p in range((max_words + 2) // 2)]
@@ -529,17 +559,28 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
 
         # ONE batched (td*RB*8, 128) compaction for the whole batch:
         # rows are independent, each 8-row group keeps its own rank space
-        a0, a1, rmin = _rows_compact(
-            jnp.concatenate([s0 for s0, _ in sels]),
-            jnp.concatenate([s1 for _, s1 in sels]),
-            jnp.concatenate(pulls), jnp.concatenate(ranks))
+        if "compact" in _ablate:          # probe-only: identity routing
+            a0 = jnp.concatenate([s0 for s0, _ in sels])
+            a1 = jnp.concatenate([s1 for _, s1 in sels])
+            rmin = jnp.zeros((td * RB * 8, 1), jnp.int32)
+        else:
+            a0, a1, rmin = _rows_compact(
+                jnp.concatenate([s0 for s0, _ in sels]),
+                jnp.concatenate([s1 for _, s1 in sels]),
+                jnp.concatenate(pulls), jnp.concatenate(ranks))
 
+        z8 = jnp.zeros((8, 128), _U32)
         for r in range(RB):            # round-major: interleave tiles
             for t2 in range(td):
                 _wcur, pend0, pend1, f, row_base = states[t2]
                 b = 8 * (t2 * RB + r)
-                pend0, pend1 = _place8(a0[b: b + 8], a1[b: b + 8],
-                                       rmin[b: b + 8], f, pend0, pend1)
+                if "place" in _ablate:    # probe-only: raw OR, no route
+                    pend0 = pend0 | jnp.concatenate([a0[b: b + 8], z8])
+                    pend1 = pend1 | jnp.concatenate([a1[b: b + 8], z8])
+                else:
+                    pend0, pend1 = _place8(a0[b: b + 8], a1[b: b + 8],
+                                           rmin[b: b + 8], f, pend0,
+                                           pend1, f + cnts[t2][r])
                 f = f + cnts[t2][r]
                 do_flush = f >= 1024
 
@@ -579,11 +620,13 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
             out1_ref[pl.ds(o, 8), :] = pend1[:8]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "max_words"))
+@functools.partial(jax.jit, static_argnames=("interpret", "max_words",
+                                             "_ablate"))
 def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
                        bases: jax.Array, cnts: jax.Array,
                        interpret: bool = False,
-                       max_words: int = SUB_WORDS * MAXLEN // 16 + 1):
+                       max_words: int = SUB_WORDS * MAXLEN // 16 + 1,
+                       _ablate: str = ""):
     """Materialize payload planes from substream streams + schedule.
 
     streams_wm: (NT*8*WCOLS, 128) u32 word rows (relayout_pallas): word
@@ -633,7 +676,7 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
             f"max_words+2 = {max_words + 2}")
     return pl.pallas_call(
         functools.partial(_emit_kernel, max_words=max_words, td=td,
-                          wcols=wcols),
+                          wcols=wcols, _ablate=_ablate),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nt * PLANE_ROWS, 128), _U32),
