@@ -197,6 +197,7 @@ def main() -> None:
         extra["spec_patched_blocks"] = int(np.count_nonzero(bits_raw >> 30))
         bits_host = bits_raw & BITS_MASK
         n_tiles, k_max, f_tile = plan_pack(bits_host, cap)
+        extra["pack_k_max"] = k_max
         d_bits = jax.device_put(jnp.asarray(bits_host.astype(np.int32)))
         d_streams = jax.device_put(streams)
         d_f = jax.device_put(jnp.asarray(f_tile))

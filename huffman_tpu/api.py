@@ -375,7 +375,16 @@ def encode_pipeline_pallas(byte_blocks, codes, lengths, valid_bytes,
 # outside the sample — the same speculate-and-patch shape as the
 # capacity/tree speculation.  The reference histograms ~1/4 of the file
 # BY ACCIDENT with no detection at all (hist.cu:98-102 units bug).
-SAMPLE_MIN_BYTES = 32 * 1024 * 1024
+# Threshold 4 MiB (round 4, was 32): the exact one-hot histogram runs
+# 12 GB/s (3x slower than the encode kernel it feeds; every faster
+# formulation measured LOST — probe_hist.py: the MXU A^T A build runs
+# 2.9 GB/s because XLA materializes the one-hot operand), so the
+# product path avoids it wherever a miss-rebuild (bounded at one extra
+# pass, detected exactly in-kernel) costs less in expectation than the
+# 15/16 of histogram work sampling saves.  A 4 MiB input still samples
+# 256 KiB — a symbol missing from that sample while present in the
+# stream is already rare.
+SAMPLE_MIN_BYTES = 4 * 1024 * 1024
 SAMPLE_EVERY = 16
 
 

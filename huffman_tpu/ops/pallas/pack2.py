@@ -157,19 +157,13 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
     # zero-extended (8, 128) ring — rows past the strip are zeros.
     for j in range(TB):
         win_copy(g, slot, j).wait()
-    # SEARCH path (stride 1, K <= 16 — the cap-128 speculative product
-    # bucket): instead of OR-scanning all K segments per output word
-    # (~5 vector ops x K on (8,128)), find each word's covering block by
-    # a 4-step binary search over the window's start words and gather
-    # its pre-rotated row.  Correct because contributors to a word are
-    # at most the searched block plus the two before it: full 1 KiB
-    # blocks emit >= 1024 bits (>= 32 words — two can share only a
-    # boundary word), only the single partial tail block is smaller,
-    # and zero-word rows (bucket padding, the appended spill row when
-    # empty) are masked out of the search by pinning their start to a
-    # sentinel (they are trailing, so monotonicity holds).
-    use_search = stride == 1 and k_max <= 16
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # (Round-4 negative result, kept as a comment so it is not retried:
+    # a per-output-word BINARY-SEARCH variant — rightmost covering block
+    # via 5 gathered probes over the window's start words, pre-rotated
+    # 8-row value banks, 3 candidate contributors — measured 41.7 GB/s
+    # at 1 GiB/k=20 vs 60.2 for this OR-over-K scan: the per-segment
+    # work below is a cheap (2,128) strip gather plus ~4 masked vector
+    # ops, cheaper than the search's dependent gather chain.)
     for j in range(TB):
         woff = pl.multiple_of((slot * TB + j) * wrows, TILE_ROWS)
         win = win_ref[pl.ds(woff, wrows)]
@@ -196,56 +190,6 @@ def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
         p0 = f_raw - a0
         tile_w0 = (g * TB + j) * TILE_WORDS
         acc = jnp.zeros((TILE_ROWS, 128), _U32)
-        if use_search:
-            big = jnp.int32(1 << 30)
-            tdw = jnp.broadcast_to(big, (1, 128))
-            tnw = jnp.zeros((1, 128), jnp.int32)
-            rows_r = []
-            for k in range(k_max):
-                wb = mw_ref[p0 + k]
-                nwk = mx_ref[p0 + k]
-                dwk = wb - tile_w0
-                # zero-word rows (trailing bucket padding / empty spill
-                # row) never contribute: pin their start past the tile
-                # so the rightmost-start search skips them and starts
-                # stay monotone
-                dwk_eff = jnp.where(nwk > 0, dwk, big)
-                tdw = jnp.where(lane1 == k, dwk_eff, tdw)
-                tnw = jnp.where(lane1 == k, nwk, tnw)
-                # pre-rotated row: R[k, l] = win[k, (l - dwk) & 127] ==
-                # block k's word (f - dwk) at every position f of lane l
-                rows_r.append(jnp.take_along_axis(
-                    win[k: k + 1], (lane1 - dwk) & 127, axis=1))
-            while len(rows_r) < 16:
-                rows_r.append(jnp.zeros((1, 128), _U32))
-            r_lo = jnp.concatenate(rows_r[:8])
-            r_hi = jnp.concatenate(rows_r[8:])
-            tdw8 = jnp.broadcast_to(tdw, (TILE_ROWS, 128))
-            tnw8 = jnp.broadcast_to(tnw, (TILE_ROWS, 128))
-            # rightmost k with start <= flat position (starts monotone)
-            s = jnp.zeros((TILE_ROWS, 128), jnp.int32)
-            for step in (8, 4, 2, 1):
-                if step >= k_max:
-                    continue
-                cand = s + step
-                dwc = jnp.take_along_axis(
-                    tdw8, jnp.minimum(cand, k_max - 1), axis=1)
-                s = jnp.where((cand <= k_max - 1) & (dwc <= flat),
-                              cand, s)
-            # contributors are within {s-2, s-1, s}: full blocks span
-            # >= 32 words, only the single tail block is smaller
-            for c in range(3):
-                sc = jnp.maximum(s - c, 0)
-                dwc = jnp.take_along_axis(tdw8, sc, axis=1)
-                nwc = jnp.take_along_axis(tnw8, sc, axis=1)
-                live = (flat - dwc).astype(_U32) < nwc.astype(_U32)
-                v = jnp.where(
-                    sc < 8,
-                    jnp.take_along_axis(r_lo, sc & 7, axis=0),
-                    jnp.take_along_axis(r_hi, sc & 7, axis=0))
-                acc = acc | jnp.where(live, v, _U32(0))
-            out_ref[j * TILE_ROWS:(j + 1) * TILE_ROWS] = acc
-            continue
         for k in range(k_max):
             wb = mw_ref[p0 + k]                        # block start word
             nw = mx_ref[p0 + k]                        # live words

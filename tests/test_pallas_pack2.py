@@ -46,3 +46,36 @@ def test_pack_parallel_vs_golden(n, nsym, capb, seed):
     assert ref_bits == total_bits
     assert np.array_equal(np.asarray(dense)[:nw],
                           packed_bytes_to_words(ref_bytes))
+
+
+def test_pack_high_coverage_vs_golden():
+    """cap-128 packing with a high-coverage tile (K > 16: a run of
+    shortest-code blocks) plus bucket-pad rows and a partial tail —
+    the geometry that exposed round-4's zero-bit-row nw accounting."""
+    from huffman_tpu.ops.pallas.pack2 import plan_pack
+    from huffman_tpu.utils.testdata import skewed
+    data = skewed(48 * 1024 + 37, num_symbols=32, seed=44)
+    mode = np.bincount(data).argmax()
+    data[11 * 1024: 28 * 1024] = mode   # a run of shortest-code blocks
+    #                                     drives K into the banked range
+    cfg = CodecConfig(capacity_bits_per_byte=4)
+    cb = Codebook.from_data(data, cfg.max_code_len)
+    blocks, nr = api._as_blocks(data, cfg)
+    valid = api.valid_per_block(nr, blocks.shape[0], cfg.block_bytes)
+    nbb = api._bucket_blocks(blocks.shape[0])   # pad rows in play
+    bb = jnp.asarray(np.pad(blocks, ((0, nbb - blocks.shape[0]), (0, 0))))
+    vv = jnp.asarray(np.pad(valid, (0, nbb - blocks.shape[0])))
+    streams, bits = encode_blocks_pallas(
+        bb, jnp.asarray(cb.codes), jnp.asarray(cb.lengths), vv, 128,
+        interpret=True)
+    bits_host = np.asarray(bits)
+    n_tiles, k_max, _f = plan_pack(bits_host, 128)
+    assert 16 < k_max <= 32, "fixture must hit the high-coverage bucket"
+    dense = np.asarray(pack_dense_parallel(streams, bits_host,
+                                           interpret=True))
+    total_bits = int(bits_host.astype(np.int64).sum())
+    nw = (total_bits + 31) // 32
+    ref_bytes, ref_bits = golden.encode(data, cb)
+    assert total_bits == ref_bits
+    np.testing.assert_array_equal(dense[:nw],
+                                  packed_bytes_to_words(ref_bytes)[:nw])
