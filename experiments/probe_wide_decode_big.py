@@ -1,11 +1,14 @@
-"""1 GiB wide-decode measurement (VERDICT r3 stretch item).
+"""Large-scale wide-decode measurement (VERDICT r3 stretch item).
 
 Round-3 measured the wide decode on a 64 MiB slice with a size-linearity
-claim; this probe encodes a full 1 GiB stream into the wide container
-(one-shot, not slope-timed) and slope-times the DECODE kernel at the
-spec size.  The decode program's operands ride as runtime args, so the
-remote-compile payload stays small (it was the encode slope CHAIN that
-overflowed the tunnel at 1 GiB).
+claim.  The full 1 GiB program does NOT compile — measured 2026-08-20:
+the emit and decode kernels scalar-prefetch the per-round bases/cnts
+((NT*ROUNDS,) i32 = 1 MB each at NT=4096), and SMEM cannot hold them
+("Attempting to allocate 1.00M ... prefetched SMEM operand"); fixing it
+needs DMA'd SMEM windows like the pack kernel's meta arrays (future
+round).  256 MiB (NT=1024, 256 KB operands) is the largest spec-size
+slice that compiles; this probe encodes it one-shot and slope-times the
+DECODE kernel there — 4x the round-3 measurement scale.
 """
 from __future__ import annotations
 
@@ -26,7 +29,7 @@ def main():
     from huffman_tpu.codebook import Codebook, byte_histogram_host
     from huffman_tpu.config import CodecConfig
 
-    mb = int(os.environ.get("HUFF_BENCH_MB", 1024))
+    mb = int(os.environ.get("HUFF_BENCH_MB", 256))
     n = mb * 1024 * 1024
     rng = np.random.default_rng(0)
     raw = rng.integers(1, 1 << 30, size=n, dtype=np.int64)

@@ -175,3 +175,32 @@ class TestShardedWide:
         enc = wide.encode_wide(data, CodecConfig(), interpret=True)
         out = ShardedCodec(mesh8).decode_wide(enc, interpret=True)
         np.testing.assert_array_equal(out, data)
+
+
+class TestShardedMissingSymbol:
+    """ShardedCodec.encode shares api.encode's missing-symbol contract
+    (round-4: it previously skipped the check entirely)."""
+
+    def test_pallas_path_raises(self, mesh8):
+        cb = testdata.dummy_codebook(4)
+        data = testdata.skewed(40_000, num_symbols=4, seed=12)
+        data[17_000] = 200
+        with pytest.raises(ValueError, match="absent from the codebook"):
+            ShardedCodec(mesh8).encode(data, codebook=cb,
+                                       use_pallas=True, interpret=True)
+
+    def test_xla_path_raises(self, mesh8):
+        cb = testdata.dummy_codebook(4)
+        data = testdata.skewed(40_000, num_symbols=4, seed=12)
+        data[17_000] = 200
+        with pytest.raises(ValueError, match="absent from the codebook"):
+            ShardedCodec(mesh8).encode(data, codebook=cb,
+                                       use_pallas=False)
+
+    def test_clean_input_passes(self, mesh8):
+        cb = testdata.dummy_codebook(4)
+        data = testdata.skewed(40_000, num_symbols=4, seed=12)
+        enc = ShardedCodec(mesh8).encode(data, codebook=cb,
+                                         use_pallas=True, interpret=True)
+        ref_bytes, ref_bits = golden.encode(data, cb)
+        assert enc.total_bits == ref_bits
