@@ -1,14 +1,13 @@
-"""Large-scale wide-decode measurement (VERDICT r3 stretch item).
+"""Spec-size wide encode + decode measurement (VERDICT r3 stretch item).
 
 Round-3 measured the wide decode on a 64 MiB slice with a size-linearity
-claim.  The full 1 GiB program does NOT compile — measured 2026-08-20:
-the emit and decode kernels scalar-prefetch the per-round bases/cnts
-((NT*ROUNDS,) i32 = 1 MB each at NT=4096), and SMEM cannot hold them
-("Attempting to allocate 1.00M ... prefetched SMEM operand"); fixing it
-needs DMA'd SMEM windows like the pack kernel's meta arrays (future
-round).  256 MiB (NT=1024, 256 KB operands) is the largest spec-size
-slice that compiles; this probe encodes it one-shot and slope-times the
-DECODE kernel there — 4x the round-3 measurement scale.
+claim.  The 1 GiB program initially did NOT compile: the emit and decode
+kernels scalar-prefetched the per-round bases/cnts ((NT*ROUNDS,) i32 =
+1 MB each at NT=4096) and SMEM cannot hold them.  Round 4 moved both to
+HBM operands with per-grid-step DMA'd 2048-entry SMEM windows (the pack
+kernel's meta pattern) — the step's td*ROUNDS span is contiguous, so one
+aligned window covers it.  This probe encodes the spec size one-shot and
+slope-times the DECODE kernel there.
 """
 from __future__ import annotations
 
@@ -29,7 +28,7 @@ def main():
     from huffman_tpu.codebook import Codebook, byte_histogram_host
     from huffman_tpu.config import CodecConfig
 
-    mb = int(os.environ.get("HUFF_BENCH_MB", 256))
+    mb = int(os.environ.get("HUFF_BENCH_MB", 1024))
     n = mb * 1024 * 1024
     rng = np.random.default_rng(0)
     raw = rng.integers(1, 1 << 30, size=n, dtype=np.int64)

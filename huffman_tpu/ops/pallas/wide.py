@@ -110,9 +110,9 @@ def _fetch_plane(pbuf_ref, b8, lanei, rowi, rfull):
     return jnp.where(rowi == rfull, ga, gb)
 
 
-def _decode_wide_kernel(roff0_ref, g0a_ref, roff1_ref, g0b_ref, bases_ref,
+def _decode_wide_kernel(roff0_ref, g0a_ref, roff1_ref, g0b_ref,
                         lim_ref, off_ref, lb_ref, tri_ref, perm_ref, nk_ref,
-                        payload_ref, out_ref, *scratch,
+                        payload_ref, bases_hbm, out_ref, *scratch,
                         mcl: int, two_row_perm: bool, td: int):
     """td tiles decoded per grid step, batched as (8*td, 128) rows.
 
@@ -121,9 +121,20 @@ def _decode_wide_kernel(roff0_ref, g0a_ref, roff1_ref, g0b_ref, bases_ref,
     runs the same chain on td-vreg operands — only the payload fetch
     stays per-tile (each tile has its own DMA window).  The MXU rank
     matmul batches too (_rank_mxu is 8-row-group-local).
+
+    bases rides in HBM with a per-step DMA'd SMEM window (the pack
+    kernel's meta pattern): as a scalar-prefetch operand its
+    (NT*ROUNDS,) size exceeded SMEM at NT >= ~2048 (1 MB at the 1 GiB
+    spec size).  The step's span td*ROUNDS is contiguous; the window is
+    the 1024-aligned 2048-entry cover (1-D SMEM DMA slices must be
+    1024-granular).
     """
-    pbufs, sems = scratch[:-1], scratch[-1]
+    pbufs, sems, bwin, bsem = scratch[:-3], scratch[-3], scratch[-2], \
+        scratch[-1]
     i = pl.program_id(0)
+    bw0 = pl.multiple_of((td * i * ROUNDS // 1024) * 1024, 1024)
+    bc = pltpu.make_async_copy(bases_hbm.at[pl.ds(bw0, 2048)], bwin, bsem)
+    bc.start()
     copies = []
     for s in range(td):
         c0 = pltpu.make_async_copy(
@@ -139,6 +150,10 @@ def _decode_wide_kernel(roff0_ref, g0a_ref, roff1_ref, g0b_ref, bases_ref,
         copies += [c0, c1]
     for c in copies:
         c.wait()
+    bc.wait()
+
+    def bases_ref(idx):                  # window-local bases read
+        return bwin[idx - bw0]
 
     R = 8 * td
     nk = nk_ref[:]
@@ -157,7 +172,7 @@ def _decode_wide_kernel(roff0_ref, g0a_ref, roff1_ref, g0b_ref, bases_ref,
         # share the rank, differ by g0
         w0s, w1s = [], []
         for s in range(td):
-            base_j = bases_ref[(td * i + s) * ROUNDS + j]
+            base_j = bases_ref((td * i + s) * ROUNDS + j)
             pull_s = pull[8 * s: 8 * s + 8]
             rank_s = rank[8 * s: 8 * s + 8]
             rank0_s = rank0[8 * s: 8 * s + 8]
@@ -277,9 +292,12 @@ def decode_wide_pallas(payload: jax.Array, roff0: jax.Array,
     permb = jnp.zeros(256, jnp.int32).at[: perm.shape[0]].set(
         perm.astype(jnp.int32)).reshape(2, 128)
     permb = jnp.concatenate([permb, jnp.zeros((6, 128), jnp.int32)])
+    # bases in HBM + per-step SMEM window (see kernel docstring); pad so
+    # the last step's aligned 2048-entry window stays in range
+    bases_pad = jnp.pad(bases.astype(jnp.int32), (0, 2048))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=7,
         grid=(nt // td,),
         in_specs=[
             pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
@@ -289,13 +307,16 @@ def decode_wide_pallas(payload: jax.Array, roff0: jax.Array,
             pl.BlockSpec((8 * td, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec((td * ROUNDS * 8, 128),
                                lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=(
             [pltpu.VMEM((_PBUF_ROWS, 128), _U32) for _ in range(2 * td)]
-            + [pltpu.SemaphoreType.DMA((2 * td,))]),
+            + [pltpu.SemaphoreType.DMA((2 * td,)),
+               pltpu.SMEM((2048,), jnp.int32),
+               pltpu.SemaphoreType.DMA]),
     )
     out = pl.pallas_call(
         functools.partial(_decode_wide_kernel, mcl=mcl,
@@ -306,9 +327,10 @@ def decode_wide_pallas(payload: jax.Array, roff0: jax.Array,
         interpret=interpret,
     )(roff0.astype(jnp.int32), g0a.astype(jnp.int32),
       roff1.astype(jnp.int32), g0b.astype(jnp.int32),
-      bases.astype(jnp.int32), lim_b.astype(jnp.int32),
+      lim_b.astype(jnp.int32),
       off.astype(jnp.int32), min_len.astype(jnp.int32).reshape(1),
-      tri.astype(jnp.float32), permb, n_k.astype(jnp.int32), payload)
+      tri.astype(jnp.float32), permb, n_k.astype(jnp.int32), payload,
+      bases_pad)
     return out
 
 
@@ -489,9 +511,9 @@ def _row_compact_place2(v0, v1, mask, rank, f):
                    end)
 
 
-def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
-                 out1_ref, *, max_words: int, td: int, wcols: int,
-                 _ablate: str = ""):
+def _emit_kernel(streams_ref, pos_ref, bases_hbm, cnts_hbm, out0_ref,
+                 out1_ref, bwin, cwin, bsem, csem, *, max_words: int,
+                 td: int, wcols: int, _ablate: str = ""):
     """td tiles per grid step: select each pulling lane's word pair,
     compact to plane positions.  The schedule (pos, bases, per-round
     counts) is precomputed (wide._schedule_arrays).  max_words statically
@@ -502,9 +524,26 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
     fori_loop body — the same latency fix as the decode kernel's tile
     batching: the per-round place/flush chain is dependent within a tile,
     so a second tile's chain fills the VPU stalls (and the batched
-    compaction runs at td*RB*8 rows per call)."""
+    compaction runs at td*RB*8 rows per call).
+
+    bases/cnts ride in HBM with per-step DMA'd SMEM windows (see
+    _decode_wide_kernel: as scalar-prefetch operands their (NT*ROUNDS,)
+    size exceeded SMEM at the 1 GiB spec size)."""
     i = pl.program_id(0)
     RB = 8                    # schedule rounds routed per loop iteration
+    bw0 = pl.multiple_of((td * i * ROUNDS // 1024) * 1024, 1024)
+    bc = pltpu.make_async_copy(bases_hbm.at[pl.ds(bw0, 2048)], bwin, bsem)
+    cc = pltpu.make_async_copy(cnts_hbm.at[pl.ds(bw0, 2048)], cwin, csem)
+    bc.start()
+    cc.start()
+    bc.wait()
+    cc.wait()
+
+    def bases_ref(idx):
+        return bwin[idx - bw0]
+
+    def cnts_ref(idx):
+        return cwin[idx - bw0]
 
     def batch_body(jb, carry):
         states = [list(s) for s in carry]
@@ -522,8 +561,8 @@ def _emit_kernel(bases_ref, cnts_ref, streams_ref, pos_ref, out0_ref,
                     :]
                 pull = posj >= 0
                 tb = (i * td + t2) * ROUNDS + j
-                cnts[t2].append(cnts_ref[tb])
-                ranks.append(jnp.where(pull, posj - bases_ref[tb], 0))
+                cnts[t2].append(cnts_ref(tb))
+                ranks.append(jnp.where(pull, posj - bases_ref(tb), 0))
                 pulls.append(pull)
 
                 # word-pair select: lane (s,l)'s words wcur, wcur+1 live
@@ -654,26 +693,36 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
     # decode reader, emit's RB-batched compaction already fills the VPU
     # (measured at 64 MiB: td=2 3.09 ms, td=4 3.9/wash, td=8 3.21)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=0,
         grid=(nt // td,),
         in_specs=[
-            pl.BlockSpec((td * 8 * wcols, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((td * 8 * wcols, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((td * ROUNDS * 8, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((td * ROUNDS * 8, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((td * PLANE_ROWS, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((td * PLANE_ROWS, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((td * PLANE_ROWS, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((td * PLANE_ROWS, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.SMEM((2048,), jnp.int32),
+            pltpu.SMEM((2048,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     max_words += max_words % 2   # pair coverage: see docstring
     if max_words + 2 > wcols:
         raise ValueError(
             f"streams_wm has {wcols} word columns; the select scan needs "
             f"max_words+2 = {max_words + 2}")
+    # bases/cnts in HBM + per-step SMEM windows (see kernel docstring);
+    # pad so the last step's aligned 2048-entry window stays in range
     return pl.pallas_call(
         functools.partial(_emit_kernel, max_words=max_words, td=td,
                           wcols=wcols, _ablate=_ablate),
@@ -684,4 +733,5 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(bases.astype(jnp.int32), cnts.astype(jnp.int32), streams_wm, pos)
+    )(streams_wm, pos, jnp.pad(bases.astype(jnp.int32), (0, 2048)),
+      jnp.pad(cnts.astype(jnp.int32), (0, 2048)))
