@@ -76,11 +76,24 @@ def _stage_geometry(cap_words: int) -> tuple[int, int, int]:
 _MA = 8192
 _MW = _MA + 1024
 
-TB = 4            # output tiles assembled per grid step: the per-segment
+TB_MAX = 32       # output tiles assembled per grid step: the per-segment
                   # ops are 1-2 vregs each, so a single tile's dependent
                   # accumulation chain leaves the VPU latency-bound; TB
                   # independent chains interleave and pipeline (same
-                  # reason the encode kernel runs block_tile=256)
+                  # reason the encode kernel runs block_tile=256).
+                  # Swept at 1 GiB (round 4, pack GB/s): TB=4: 60.0,
+                  # 8: 65.1, 16: 71.1, 32: 73.2, 64: 70.2.  Small inputs
+                  # use the largest divisor of n_tiles (_tb_for) so
+                  # interpreter-mode tests don't pad to 32 tiles.
+
+
+def _tb_for(n_tiles: int) -> int:
+    """Tiles per grid step: the largest power-of-two batch <= TB_MAX
+    dividing n_tiles (plan_pack rounds n_tiles to a multiple of 4)."""
+    for t in (32, 16, 8, 4):
+        if n_tiles % t == 0:
+            return t
+    return 1
 
 
 def _wrows(stride: int, k_max: int) -> int:
@@ -91,7 +104,7 @@ def _wrows(stride: int, k_max: int) -> int:
 
 def _pack_kernel(f_ref, wrow_ref, metaw_hbm, metax_hbm, streams_hbm,
                  out_ref, win_ref, mw_ref, mx_ref, sems, *,
-                 k_max: int, cap_words: int, n_steps: int):
+                 k_max: int, cap_words: int, n_steps: int, TB: int):
     g = pl.program_id(0)
     stride, _ab, _km = _stage_geometry(cap_words)
     wrows = _wrows(stride, k_max)
@@ -392,8 +405,9 @@ def pack_tiles_pallas(block_streams, word_base: jax.Array,
     nb = word_base.shape[0]
     if cap % 128:
         raise ValueError("cap_words must be a multiple of 128")
-    if n_tiles % TB:
-        raise ValueError(f"n_tiles must be a multiple of {TB}")
+    if n_tiles % 4:
+        raise ValueError("n_tiles must be a multiple of 4")
+    TB = _tb_for(n_tiles)
     cap_rows = cap // 128
     if cap_rows > TILE_ROWS:
         raise ValueError("cap_words must be <= 1024 (8 rows)")
@@ -448,7 +462,7 @@ def pack_tiles_pallas(block_streams, word_base: jax.Array,
     )
     out = pl.pallas_call(
         functools.partial(_pack_kernel, k_max=k_max, cap_words=cap,
-                          n_steps=n_steps),
+                          n_steps=n_steps, TB=TB),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, 128), _U32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -529,7 +543,7 @@ def plan_pack(block_bits_host, cap_words: int = 256,
     bits = np.asarray(block_bits_host, dtype=np.int64)
     total_words = int((bits.sum() + start_bits + 31) // 32)
     n_tiles = _bucket_quarter(max(total_words, 1) // TILE_WORDS + 1, 8)
-    n_tiles = -(-n_tiles // TB) * TB      # TB subtiles per grid step
+    n_tiles = -(-n_tiles // 4) * 4        # _tb_for picks the step batch
     word_base = (np.concatenate([[0], np.cumsum(bits)[:-1]])
                  + start_bits) >> 5
     tile_starts = np.arange(n_tiles, dtype=np.int64) * TILE_WORDS
