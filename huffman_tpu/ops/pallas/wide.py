@@ -689,9 +689,10 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
     """
     nt = pos.shape[0] // (ROUNDS * 8)
     wcols = streams_wm.shape[0] // (nt * 8)
-    td = 2 if nt % 2 == 0 else 1   # tiles per grid step: unlike the
-    # decode reader, emit's RB-batched compaction already fills the VPU
-    # (measured at 64 MiB: td=2 3.09 ms, td=4 3.9/wash, td=8 3.21)
+    td = 4 if nt % 4 == 0 else 1   # tiles per grid step.  Re-swept in
+    # round 4 after the searchsorted placement rewrite made the
+    # per-round chain shorter (wide encode GB/s at 64 MiB):
+    # td=2: 11.1, td=4: 13.2, td=8: 11.4 (VMEM pressure); RB=16: 11.6
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nt // td,),
