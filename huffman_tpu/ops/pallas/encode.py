@@ -643,7 +643,7 @@ BITS_MASK = (1 << 30) - 1
                                     "table_rows", "detect_missing"))
 def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          lengths: jax.Array, valid_bytes: jax.Array,
-                         capacity_words: int, block_tile: int = 256,
+                         capacity_words: int, block_tile: int = 512,
                          interpret: bool = False, max_code_len: int = 16,
                          halve_to_chunks: int = 0,
                          compact16: bool = False, table_rows: int = 2,
@@ -661,6 +661,10 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
     exact, and bit 30 of each entry flags a block whose stream is
     invalid and must be re-encoded with the safe tree (mask with
     BITS_MASK for the count).
+
+    block_tile swept at 64 MiB on the product config (round 4, GB/s):
+    t=256: 45.0, 384: 52.8, 512: 54.7, 768: 44.9, 1024: 51.8 — deeper
+    row batching keeps the gather-heavy merge chain pipelined.
     """
     nb, bb = byte_blocks.shape
     if byte_blocks.dtype == jnp.uint32:
