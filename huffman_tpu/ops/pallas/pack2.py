@@ -525,6 +525,26 @@ def _pack_prepared(block_streams, block_bits, f_tile, n_tiles, k_max,
     return out
 
 
+def check_meta_window(f_tile_host, n_tiles: int, k_max: int) -> None:
+    """Host guard for the kernel's SMEM meta window (advisor r4).
+
+    Within one grid step every segment index p0 + k = f[j] - a0 + k must
+    stay inside the _MW-entry window whose base a0 is derived from the
+    step's FIRST tile.  The worst case is data-dependent (the spread of f
+    across a TB-tile step), so assert on the host plan instead of sizing
+    _MW for an un-analyzed worst case and overflowing silently."""
+    import numpy as np
+    TB = _tb_for(n_tiles)
+    f = np.asarray(f_tile_host, np.int64).reshape(-1, TB)
+    a0 = (f[:, 0] // _MA) * _MA
+    worst = int((f[:, -1] - a0).max()) + k_max
+    if worst > _MW:
+        raise ValueError(
+            f"pack meta SMEM window overflow: a grid step spans {worst} "
+            f"meta entries > _MW={_MW} (TB={TB}, k_max={k_max}) — grow "
+            f"_MW in ops/pallas/pack2.py")
+
+
 def plan_pack(block_bits_host, cap_words: int = 256,
               start_bits: int = 0) -> tuple[int, int, "np.ndarray"]:
     """(n_tiles, k_max, f_tile) for a pack call, from host per-block bits.
@@ -564,8 +584,9 @@ def plan_pack(block_bits_host, cap_words: int = 256,
             f"pack tile covered by {k_need} blocks — corrupt block_bits?")
     f_tile = np.maximum(
         np.searchsorted(word_base, tile_starts, "left") - 1, 0)
-    return (n_tiles, max(-(-k_need // k_mult) * k_mult, k_mult),
-            f_tile.astype(np.int32))
+    k_bucket = max(-(-k_need // k_mult) * k_mult, k_mult)
+    check_meta_window(f_tile, n_tiles, k_bucket)
+    return (n_tiles, k_bucket, f_tile.astype(np.int32))
 
 
 def pack_dense_parallel(block_streams: jax.Array, block_bits_host,

@@ -497,6 +497,11 @@ class ShardedCodec:
             f_all = np.stack([
                 np.pad(p[2], (0, n_tiles - p[2].size), mode="edge")
                 for p in plans]).astype(np.int32)
+            # re-check under the SHARED (n_tiles, k_max), which can
+            # exceed each shard's own plan_pack-time check
+            from ..ops.pallas.pack2 import check_meta_window
+            for s in range(ndev):
+                check_meta_window(f_all[s], n_tiles, k_max)
         else:
             n_tiles, k_max = 1, 1   # unused by the XLA body
             f_all = np.zeros((ndev, 1), np.int32)

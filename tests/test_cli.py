@@ -93,6 +93,22 @@ def test_decode_range(tmp_path):
     assert out.read_bytes() == data[1000:3500].tobytes()
 
 
+def test_decode_range_degenerate():
+    """Degenerate ranges (advisor r4): empty at 0/mid/end, reversed."""
+    from huffman_tpu import api
+    from huffman_tpu.utils import testdata
+    data = testdata.skewed(5000, num_symbols=16, seed=46)
+    enc = api.encode(data)
+    for pos in (0, 100, 5000):
+        assert api.decode_range(enc, pos, pos).size == 0
+    with pytest.raises(ValueError):
+        api.decode_range(enc, 10, 5)
+    with pytest.raises(ValueError):
+        api.decode_range(enc, 0, 5001)
+    np.testing.assert_array_equal(api.decode_range(enc, 4999, 5000),
+                                  data[4999:5000])
+
+
 def test_decode_range_wide_api():
     """wide.decode_wide_range decodes only the covering tiles."""
     from huffman_tpu import wide
