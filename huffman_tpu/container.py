@@ -13,7 +13,7 @@ Layout (all integers little-endian):
   offset  size  field
   0       4     magic  b"HTZ1"
   4       4     version (u32) = 1
-  8       4     flags (u32, reserved)
+  8       4     flags (u32; bit 0 = payload CRC-32 appended, see below)
   12      8     original length in bytes (u64)
   20      4     block_bytes (u32)
   24      4     max_code_len (u32)
@@ -23,6 +23,8 @@ Layout (all integers little-endian):
   296     4*NB  per-block bit counts (u32 each)
   ...           payload: ceil(total_bits/32) words, each stored big-endian
                 (so the payload bytes are exactly the MSB-first bitstream)
+  ...     4     CRC-32 of the payload bytes (u32, when flags bit 0 set;
+                writers always set it, readers accept its absence)
 
 Version 3 (the WIDE interleaved format v2, golden/wide_codec.py): the
 same header with block_bytes := the tile size, total_bits := payload
@@ -50,10 +52,34 @@ MAGIC = b"HTZ1"
 VERSION = 1
 _HEADER = struct.Struct("<4sIIQIIQI")  # magic, ver, flags, n, bb, mcl, bits, nb
 
+# flags bit 0: a u32 CRC-32 (zlib polynomial) of the payload bytes is
+# appended after the payload and verified on load.  Writers always set
+# it; readers accept flag-less (pre-r5) containers unchanged, so the
+# field is the reserved-flags escape hatch the header always carried.
+FLAG_CRC32 = 1
+
+
+def _crc_check(blob: bytes, flags: int, pay_off: int, pay_len: int) -> None:
+    """Verify the appended payload CRC when FLAG_CRC32 is set.
+
+    Turns silent payload corruption (bit flips decode to garbage — the
+    fuzz tests used to assert only 'no crash') into a clean error."""
+    if not flags & FLAG_CRC32:
+        return
+    if len(blob) < pay_off + pay_len + 4:
+        raise ValueError("truncated HTZ container (missing payload CRC)")
+    import zlib
+    want = struct.unpack_from("<I", blob, pay_off + pay_len)[0]
+    got = zlib.crc32(blob[pay_off: pay_off + pay_len]) & 0xFFFFFFFF
+    if got != want:
+        raise ValueError(
+            f"HTZ payload CRC mismatch (stored {want:#010x}, computed "
+            f"{got:#010x}) — container corrupt")
+
 
 def dumps(enc: Encoded) -> bytes:
     """Serialize an Encoded stream to container bytes."""
-    header = _HEADER.pack(MAGIC, VERSION, 0, enc.n_bytes,
+    header = _HEADER.pack(MAGIC, VERSION, FLAG_CRC32, enc.n_bytes,
                           enc.config.block_bytes, enc.config.max_code_len,
                           enc.total_bits, len(enc.block_bits))
     lens = np.asarray(enc.codebook.lengths, dtype=np.uint8).tobytes()
@@ -61,7 +87,9 @@ def dumps(enc: Encoded) -> bytes:
     n_words = cdiv(enc.total_bits, 32)
     payload = np.ascontiguousarray(
         enc.stream_words[:n_words], dtype=np.uint32).astype(">u4").tobytes()
-    return header + lens + bbits + payload
+    import zlib
+    crc = struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
+    return header + lens + bbits + payload + crc
 
 
 def loads(blob: bytes) -> Encoded:
@@ -69,7 +97,7 @@ def loads(blob: bytes) -> Encoded:
     if len(blob) < _HEADER.size:
         raise ValueError(
             f"not an HTZ container: {len(blob)} bytes < header size")
-    magic, ver, _flags, n_bytes, block_bytes, max_code_len, total_bits, nb = \
+    magic, ver, flags, n_bytes, block_bytes, max_code_len, total_bits, nb = \
         _HEADER.unpack_from(blob, 0)
     if magic != MAGIC:
         raise ValueError(f"not an HTZ container (magic {magic!r})")
@@ -77,6 +105,7 @@ def loads(blob: bytes) -> Encoded:
         raise ValueError(f"unsupported container version {ver}")
     if len(blob) < overhead_bytes(nb) + 4 * cdiv(total_bits, 32):
         raise ValueError("truncated HTZ container")
+    _crc_check(blob, flags, overhead_bytes(nb), 4 * cdiv(total_bits, 32))
     off = _HEADER.size
     lens = np.frombuffer(blob, dtype=np.uint8, count=256, offset=off)
     off += 256
@@ -99,8 +128,8 @@ WIDE_VERSION = 3
 def dumps_wide(enc) -> bytes:
     """Serialize a wide.WideEncoded stream (container version 3)."""
     from .golden.wide_codec import ROUNDS, TILE_BYTES
-    header = _HEADER.pack(MAGIC, WIDE_VERSION, 0, enc.n_bytes, TILE_BYTES,
-                          enc.config.max_code_len,
+    header = _HEADER.pack(MAGIC, WIDE_VERSION, FLAG_CRC32, enc.n_bytes,
+                          TILE_BYTES, enc.config.max_code_len,
                           int(enc.payload_words.size) * 32,
                           len(enc.tile_words))
     lens = np.asarray(enc.codebook.lengths, dtype=np.uint8).tobytes()
@@ -110,14 +139,16 @@ def dumps_wide(enc) -> bytes:
         raise ValueError("bases shape mismatch")
     payload = np.ascontiguousarray(enc.payload_words,
                                    dtype=np.uint32).tobytes()
-    return header + lens + counts + bases.tobytes() + payload
+    import zlib
+    crc = struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
+    return header + lens + counts + bases.tobytes() + payload + crc
 
 
 def loads_wide(blob: bytes):
     """Deserialize container version 3 to wide.WideEncoded."""
     from .wide import WideEncoded
     from .golden.wide_codec import MAXLEN, ROUNDS, TILE_BYTES
-    magic, ver, _f, n_bytes, tile, max_code_len, bits, nt = \
+    magic, ver, flags, n_bytes, tile, max_code_len, bits, nt = \
         _HEADER.unpack_from(blob, 0)
     if magic != MAGIC or ver != WIDE_VERSION:
         raise ValueError(f"not a version-{WIDE_VERSION} (wide) HTZ container")
@@ -132,6 +163,8 @@ def loads_wide(blob: bytes):
             f"wide container max_code_len {max_code_len} outside [1, {MAXLEN}]")
     if len(blob) < overhead_bytes(nt) + 2 * ROUNDS * nt + 4 * (bits // 32):
         raise ValueError("truncated HTZ container")
+    _crc_check(blob, flags, overhead_bytes(nt) + 2 * ROUNDS * nt,
+               4 * (bits // 32))
     off = _HEADER.size
     lens = np.frombuffer(blob, dtype=np.uint8, count=256, offset=off)
     off += 256

@@ -72,6 +72,41 @@ class TestContainer:
             with pytest.raises((ValueError, struct.error)):
                 container.loads_wide(blob[:cut])
 
+    def test_payload_crc_catches_corruption(self):
+        """A flipped payload bit is a clean error, not silent garbage
+        (flags bit 0 CRC, VERDICT r4 item 9)."""
+        data = testdata.skewed(4000, num_symbols=16, seed=16)
+        blob = bytearray(container.dumps(api.encode(data)))
+        pay0 = container.overhead_bytes(
+            len(api.encode(data).block_bits))
+        blob[pay0 + 5] ^= 0x10
+        with pytest.raises(ValueError, match="CRC"):
+            container.loads(bytes(blob))
+
+    def test_payload_crc_wide(self):
+        from huffman_tpu import wide
+        from huffman_tpu.codebook import Codebook as CB
+        data = testdata.skewed(5000, num_symbols=16, seed=17)
+        cb = CB.from_data(data, 12)
+        enc = wide.encode_wide(data, CodecConfig(), codebook=cb,
+                               interpret=True)
+        blob = bytearray(container.dumps_wide(enc))
+        blob[-6] ^= 0x01          # inside the payload, before the CRC
+        with pytest.raises(ValueError, match="CRC"):
+            container.loads_wide(bytes(blob))
+        # and the untampered blob still loads
+        container.loads_wide(bytes(container.dumps_wide(enc)))
+
+    def test_crcless_container_still_loads(self):
+        """Pre-r5 containers (flags=0, no trailing CRC) remain readable."""
+        import struct
+        data = testdata.skewed(3000, num_symbols=16, seed=18)
+        enc = api.encode(data)
+        blob = bytearray(container.dumps(enc)[:-4])   # strip CRC
+        struct.pack_into("<I", blob, 8, 0)            # clear flags
+        enc2 = container.loads(bytes(blob))
+        np.testing.assert_array_equal(api.decode(enc2), data)
+
     def test_nondefault_config_preserved(self):
         data = testdata.skewed(3000, seed=3)
         cfg = CodecConfig(block_bytes=256, max_code_len=12)
