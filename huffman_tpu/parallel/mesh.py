@@ -41,6 +41,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def fetch(x) -> np.ndarray:
+    """Host value of a device array — multi-process-safe.
+
+    np.asarray on a jax.Array spanning non-addressable devices raises;
+    on a multi-host mesh the value is re-replicated through the runtime
+    (one collective over ICI/DCN) so every process gets the full array,
+    which is what the host-side orchestration (plans, container headers)
+    needs.  Single-process arrays take the plain np.asarray path."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def put_global(host_arr, sharding: NamedSharding) -> jax.Array:
+    """Upload a host-global array under `sharding` — multi-process-safe.
+
+    Single-process: plain device_put.  Multi-process: every process holds
+    the same full host value (the orchestration is replicated), so the
+    global array is built from per-shard callbacks — each process uploads
+    only its addressable shards, no cross-host data motion."""
+    host_arr = np.asarray(host_arr)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(
+            host_arr.shape, sharding, lambda idx: host_arr[idx])
+    return jax.device_put(host_arr, sharding)
+
+
 def init_multihost(coordinator_address: str | None = None,
                    num_processes: int | None = None,
                    process_id: int | None = None) -> None:

@@ -34,7 +34,7 @@ from ..config import CodecConfig, DEFAULT_CONFIG, cdiv
 from ..ops import encode as encode_ops
 from ..ops import histogram as hist_ops
 from ..ops import pack as pack_ops
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, fetch, put_global
 
 
 def _shard_exclusive_base(local_w, local_r, axis: str):
@@ -345,7 +345,7 @@ class ShardedCodec:
         if as_words:
             from ..api import _host_words
             blocks = _host_words(np.asarray(blocks))
-        return (jax.device_put(blocks, bs), jax.device_put(valid, bs))
+        return (put_global(blocks, bs), put_global(valid, bs))
 
     def _patch_flagged_sharded(self, streams, blocks, valid, cb, cap: int,
                                kmcl: int, flagged: np.ndarray,
@@ -392,8 +392,8 @@ class ShardedCodec:
         bs = NamedSharding(self.mesh, P(DATA_AXIS))
         ov = overlay_phase(self.mesh, cap, nfix)
         return ov(streams,
-                  jax.device_put(fix_all.reshape(ndev * nfix, cap), bs),
-                  jax.device_put(idx_all.reshape(-1), bs))
+                  put_global(fix_all.reshape(ndev * nfix, cap), bs),
+                  put_global(idx_all.reshape(-1), bs))
 
     def encode(self, data, codebook: Codebook | None = None,
                use_pallas: bool | None = None, interpret: bool = False):
@@ -434,11 +434,12 @@ class ShardedCodec:
         d_blocks, d_valid = self.shard_inputs(blocks, valid,
                                               as_words=use_pallas)
         if codebook is None:
-            hist = np.asarray(histogram_sharded(self.mesh)(d_blocks, d_valid))
+            hist = fetch(histogram_sharded(self.mesh)(d_blocks, d_valid))
             codebook = Codebook.from_frequencies_auto(hist, cfg.max_code_len,
                                                       cfg.narrow_tol)
-        d_codes = jnp.asarray(codebook.codes)
-        d_lens = jnp.asarray(codebook.lengths)
+        rs = NamedSharding(self.mesh, P())
+        d_codes = put_global(codebook.codes, rs)
+        d_lens = put_global(codebook.lengths, rs)
         if use_pallas:
             from ..ops.pallas.encode import BITS_MASK
             kmcl = _kernel_mcl(codebook)
@@ -454,7 +455,7 @@ class ShardedCodec:
                                    detect_missing=explicit_cb)
                 streams, bits_dev, shard_word, shard_shift = p1(
                     d_blocks, d_valid, d_codes, d_lens)
-                bits_raw = np.asarray(bits_dev)
+                bits_raw = fetch(bits_dev)
                 if explicit_cb and ((bits_raw >> 31) & 1).any():
                     raise ValueError(
                         "input contains symbols absent from the codebook")
@@ -472,7 +473,7 @@ class ShardedCodec:
                                cfg.max_code_len, with_hist=False)
             streams, bits_dev, shard_word, shard_shift = p1(
                 d_blocks, d_valid, d_codes, d_lens)
-            bits = np.asarray(bits_dev)
+            bits = fetch(bits_dev)
         if cfg.check_overflow and (bits > cfg.capacity_words * 32).any():
             raise OverflowError("block overflowed capacity; raise "
                                 "config.capacity_bits_per_byte")
@@ -482,7 +483,7 @@ class ShardedCodec:
         # Host-side static buckets shared by every shard (max over shards).
         ndev = self.mesh.devices.size
         bits64 = bits.astype(np.int64).reshape(ndev, -1)
-        shift_h = np.asarray(shard_shift).reshape(-1)
+        shift_h = fetch(shard_shift).reshape(-1)
         if use_pallas:
             from ..ops.pallas.pack2 import plan_pack
             # per-shard exact plan; all shards share the max (n_tiles,
@@ -507,11 +508,10 @@ class ShardedCodec:
             f_all = np.zeros((ndev, 1), np.int32)
         p2 = pack_phase2(self.mesh, n_tiles, k_max, cap, use_pallas,
                          interpret)
-        d_f = jax.device_put(f_all,
-                             NamedSharding(self.mesh, P(DATA_AXIS)))
+        d_f = put_global(f_all, NamedSharding(self.mesh, P(DATA_AXIS)))
         shard_streams, used = p2(streams, bits_dev, shard_shift, d_f)
-        stream = assemble_dense(np.asarray(shard_streams),
-                                np.asarray(shard_word), np.asarray(used),
+        stream = assemble_dense(fetch(shard_streams),
+                                fetch(shard_word), fetch(used),
                                 cdiv(total_bits, 32))
         return Encoded(stream_words=stream, total_bits=total_bits,
                        block_bits=bits, codebook=codebook, n_bytes=n,
@@ -557,12 +557,12 @@ class ShardedCodec:
                 cfg.block_bytes, cfg.decode_table_bits)
 
         out = jax.jit(_dec)(
-            jax.device_put(stream, rs),
-            jax.device_put(np.asarray(offsets.word_base), bs),
-            jax.device_put(np.asarray(offsets.bit_shift), bs),
-            jax.device_put(valid, bs),
-            jax.device_put(syms, rs), jax.device_put(lens, rs))
-        return np.asarray(out).reshape(-1)[: enc.n_bytes]
+            put_global(stream, rs),
+            put_global(np.asarray(offsets.word_base), bs),
+            put_global(np.asarray(offsets.bit_shift), bs),
+            put_global(valid, bs),
+            put_global(syms, rs), put_global(lens, rs))
+        return fetch(out).reshape(-1)[: enc.n_bytes]
 
     def encode_wide(self, data, codebook: Codebook | None = None,
                     interpret: bool = False):
@@ -604,20 +604,19 @@ class ShardedCodec:
         rs = NamedSharding(self.mesh, P())
         host_words = _host_words(padded.reshape(-1, 1024))
         host_valid = valid_per_block(n, nb, 1024)
-        d_blocks = jax.device_put(host_words, bs)
-        d_valid = jax.device_put(host_valid, bs)
+        d_blocks = put_global(host_words, bs)
+        d_valid = put_global(host_valid, bs)
         if codebook is None:
-            hist = np.asarray(
-                histogram_sharded(self.mesh)(d_blocks, d_valid))
+            hist = fetch(histogram_sharded(self.mesh)(d_blocks, d_valid))
             codebook = Codebook.from_frequencies_auto(
                 hist, cfg.max_code_len, cfg.narrow_tol)
         cb = codebook
         mcl = int(cb.lengths.max(initial=1)) or 1
         mcl_cap = next(b for b in (4, 8, wide_mod.MAXLEN) if mcl <= b)
         trows = _table_rows(cb)
-        d_codes = jax.device_put(cb.codes, rs)
-        d_lens = jax.device_put(cb.lengths, rs)
-        d_mcl = jax.device_put(np.asarray([mcl], np.int32), rs)
+        d_codes = put_global(cb.codes, rs)
+        d_lens = put_global(cb.lengths, rs)
+        d_mcl = put_global(np.asarray([mcl], np.int32), rs)
 
         def k1(spec_chunks: int):
             n_out = 3 if spec_chunks else 2
@@ -649,14 +648,14 @@ class ShardedCodec:
             streams, l2, violb = k1(spec)(d_blocks, d_valid, d_codes,
                                           d_lens)
             slot = streams.shape[1] // 4
-            if bool(np.asarray(wide_mod._slot_overflow(l2, slot * 32))):
+            if bool(fetch(wide_mod._slot_overflow(l2, slot * 32))):
                 spec = 0            # exact fallback: safe tree
             else:
-                flagged = np.nonzero(np.asarray(violb))[0]
+                flagged = np.nonzero(fetch(violb))[0]
                 if flagged.size:
                     streams = self._patch_flagged_wide(
                         streams, host_words, host_valid, flagged, slot,
-                        mcl_cap, trows, d_codes, d_lens, interpret)
+                        mcl_cap, trows, cb, interpret)
                 p0, p1, bases, cnts = emit(min(8 * mcl_cap, slot))(
                     streams, l2, d_valid, d_mcl)
                 return wide_mod._assemble_wide(p0, p1, bases, cnts, cb,
@@ -668,7 +667,7 @@ class ShardedCodec:
 
     def _patch_flagged_wide(self, streams, host_words, host_valid,
                             flagged, slot: int, mcl_cap: int, trows: int,
-                            d_codes, d_lens, interpret: bool):
+                            cb: Codebook, interpret: bool):
         """Safe re-encode of spec-flagged blocks + per-shard row-gather
         overlay into the SHARDED wide streams buffer.
 
@@ -691,8 +690,11 @@ class ShardedCodec:
         idxp = np.concatenate(
             [flagged, np.repeat(flagged[:1], npad - flagged.size)]
         ).astype(np.int64)
+        # off-mesh local re-encode: every process runs it identically on
+        # its default device, so operands must be LOCAL arrays
         safe_s, _l2f = wide_mod._sub_encode_device(
-            jnp.asarray(host_words[idxp]), d_codes, d_lens,
+            jnp.asarray(host_words[idxp]), jnp.asarray(cb.codes),
+            jnp.asarray(cb.lengths),
             jnp.asarray(host_valid[idxp]), interpret=interpret,
             table_rows=trows, mcl_cap=mcl_cap, spec_chunks=0)
         fixed = np.asarray(wide_mod._repack_safe_rows(safe_s, slot))
@@ -719,8 +721,8 @@ class ShardedCodec:
 
         return jax.jit(_ov)(
             streams,
-            jax.device_put(fix_all.reshape(ndev * nfix, cols), bs),
-            jax.device_put(idx_all.reshape(-1), bs))
+            put_global(fix_all.reshape(ndev * nfix, cols), bs),
+            put_global(idx_all.reshape(-1), bs))
 
     def decode_wide(self, enc, interpret: bool = False) -> np.ndarray:
         """Sharded wide decode: tiles split over the mesh, payload
@@ -775,13 +777,13 @@ class ShardedCodec:
                 two_row_perm=perm.size > 128, interpret=interpret)
 
         out = jax.jit(_dec)(
-            jax.device_put(payload_all, bs),
-            jax.device_put(roff0, bs), jax.device_put(g0a, bs),
-            jax.device_put(roff1, bs), jax.device_put(g0b, bs),
-            jax.device_put(enc.bases.reshape(-1).astype(np.int32), bs),
-            jax.device_put(lim_b, rs), jax.device_put(off, rs),
-            jax.device_put(np.asarray([min_len], np.int32), rs),
-            jax.device_put(tri, rs), jax.device_put(perm, rs),
-            jax.device_put(nk, bs))
+            put_global(payload_all, bs),
+            put_global(roff0, bs), put_global(g0a, bs),
+            put_global(roff1, bs), put_global(g0b, bs),
+            put_global(enc.bases.reshape(-1).astype(np.int32), bs),
+            put_global(lim_b, rs), put_global(off, rs),
+            put_global(np.asarray([min_len], np.int32), rs),
+            put_global(tri, rs), put_global(perm, rs),
+            put_global(nk, bs))
         out = wide_mod._unpack_wide_output(out)
-        return np.asarray(out)[: enc.n_bytes]
+        return fetch(out)[: enc.n_bytes]

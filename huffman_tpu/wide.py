@@ -422,11 +422,12 @@ def _assemble_wide(p0, p1, bases, cnts, cb: Codebook, n: int,
     """Device plane buffers -> WideEncoded (host assembly; shared by the
     single-chip and sharded encode paths)."""
     from .ops.pallas.wide import PLANE_ROWS
-    bases = np.asarray(bases)
+    from .parallel.mesh import fetch   # multi-process-safe host fetch
+    bases = fetch(bases)
     nt = bases.shape[0]
-    tile_words = (bases[:, -1] + np.asarray(cnts)[:, -1]).astype(np.int32)
-    p0 = np.asarray(p0).reshape(nt, PLANE_ROWS * 128)
-    p1 = np.asarray(p1).reshape(nt, PLANE_ROWS * 128)
+    tile_words = (bases[:, -1] + fetch(cnts)[:, -1]).astype(np.int32)
+    p0 = fetch(p0).reshape(nt, PLANE_ROWS * 128)
+    p1 = fetch(p1).reshape(nt, PLANE_ROWS * 128)
     pieces = []
     for i in range(nt):
         w = int(tile_words[i])

@@ -97,4 +97,35 @@ ref_bytes, ref_bits = golden.encode(data, cb)
 assert total_bits == ref_bits, (total_bits, ref_bits)
 assert np.array_equal(stream, packed_bytes_to_words(ref_bytes)), \
     "multi-host stream not bit-exact vs golden"
+
+# ---- product dense path (VERDICT r4 item 5): ShardedCodec.encode with
+# the Mosaic kernels under the Pallas interpreter, the same speculative
+# schedule + patch overlay + host-planned pack users run on TPU — here
+# with every host fetch/upload crossing the 2-process boundary.
+from huffman_tpu.parallel.pipeline import ShardedCodec  # noqa: E402
+
+codec = ShardedCodec(mesh, CodecConfig())
+data2 = testdata.skewed(ndev * 6 * 1024 + 333, num_symbols=32, seed=8)
+cb2 = Codebook.from_data(data2)
+enc2 = codec.encode(data2, codebook=cb2, use_pallas=True, interpret=True)
+ref2_bytes, ref2_bits = golden.encode(data2, cb2)
+assert enc2.total_bits == ref2_bits, (enc2.total_bits, ref2_bits)
+assert np.array_equal(enc2.stream_words, packed_bytes_to_words(ref2_bytes)), \
+    "2-process product Mosaic stream not bit-exact vs golden"
+
+# ---- product wide path: tile-parallel encode + payload-sharded decode
+# across the process boundary, roundtrip-exact and container-identical to
+# the single-chip wide encoder.
+from huffman_tpu import wide as wide_mod  # noqa: E402
+from huffman_tpu import container  # noqa: E402
+
+data3 = testdata.skewed(ndev * wide_mod.TILE_BYTES, num_symbols=32, seed=9)
+cb3 = Codebook.from_data(data3, 12)
+enc3 = codec.encode_wide(data3, codebook=cb3, interpret=True)
+out3 = codec.decode_wide(enc3, interpret=True)
+assert np.array_equal(out3, data3), "2-process wide roundtrip mismatch"
+ref3 = wide_mod.encode_wide(data3, CodecConfig(), codebook=cb3,
+                            interpret=True)
+assert container.dumps_wide(enc3) == container.dumps_wide(ref3), \
+    "2-process wide container differs from single-chip"
 print("MULTIHOST-OK", flush=True)
