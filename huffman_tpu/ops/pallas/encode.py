@@ -252,6 +252,59 @@ def _merge_compact16(vals, alenc, n_items: int, S: int, it):
     return new_vals, new_alenc, viol
 
 
+def _merge_quad16(vals, alenc, it):
+    """Fused 4B -> 16B QUAD merge: four consecutive one-word speculative
+    items funneled straight into a 2-word slot, one output chunk.
+
+    Replaces merge_level_v2 (4->8B, 2 output chunks) + _merge_compact16
+    (8->16B) on the compact16 product path — measured 0.30 vs 0.46 ms at
+    64 MiB (round 5, experiments/probe_quad16.py): the intermediate
+    8-byte level never materializes.  Same exactness contract: inputs
+    are <= 32-bit unflagged 4B items (the speculative L2 state), a 16B
+    item whose EXACT merged length exceeds the 64-bit slot is flagged
+    for the safe re-encode, and the 4 bits/byte density is preserved by
+    all later merges (see _merge_compact16's docstring).
+
+    vals/alenc: 2 chunks (256 one-word items, S=1).  Per output lane l:
+    item i = l>>1, word j = l&1; sources are items 4i..4i+3 at offsets
+    (0, m0, m0+m1, m0+m1+m2) — all gather indices are static iota
+    arithmetic (2-chunk static-mask selects); only shift amounts are
+    dynamic.  Returns ([1 chunk], [compact lens], viol).
+    """
+    if len(vals) != 2 or len(alenc) != 2:
+        raise ValueError("quad16 expects the 2-chunk 4B-item state")
+
+    def g2(chunks, idx):
+        a = jnp.take_along_axis(chunks[0], idx & 127, axis=1)
+        b = jnp.take_along_axis(chunks[1], idx & 127, axis=1)
+        return jnp.where(idx < 128, a, b)
+
+    def srl(x, n):
+        s = _shr_u(x, jnp.minimum(n, 31).astype(_U32))
+        return jnp.where(n >= 32, _U32(0), s)
+
+    def sll(x, n):        # n in [1, 32]; n == 32 -> 0
+        return _shl_u(_shl_u(x, (n - 1).astype(_U32)), _U32(1))
+
+    i = it >> 1
+    j = it & 1
+    v = [g2(vals, 4 * i + k) for k in range(4)]
+    m = [g2(alenc, 4 * i + k) for k in range(4)]
+    o1 = m[0]
+    o2 = o1 + m[1]
+    o3 = o2 + m[2]
+    total = o3 + m[3]
+    w0 = v[0] | srl(v[1], o1) | srl(v[2], o2) | srl(v[3], o3)
+    # o1 <= 32 for an unflagged 4B item: word 1 sees only its spill
+    w1 = sll(v[1], 32 - o1)
+    w1 = w1 | jnp.where(o2 < 32, sll(v[2], 32 - o2), srl(v[2], o2 - 32))
+    w1 = w1 | jnp.where(o3 < 32, sll(v[3], 32 - o3), srl(v[3], o3 - 32))
+    out = jnp.where(j == 0, w0, w1)
+    alen_c = jnp.take_along_axis(total, (2 * it) & 127, axis=1)
+    viol = (total > 64) & (j == 0) & (i < 64)
+    return [out], [alen_c], viol
+
+
 def _pack_finish(vals, alenc, n_items: int, S: int, it):
     """Replace the remaining single-chunk doubling merges with ONE
     per-dest-word covering-item search + funnel assembly.
@@ -293,34 +346,41 @@ def _pack_finish(vals, alenc, n_items: int, S: int, it):
     off_eff = jnp.where((lens == 0) | (it >= n_items), big, off)
     bitpos = 32 * it
     s = jnp.zeros_like(it)
+    # n_items <= 64: cand <= (n_items-1) + n_items/2 < 128 and s+C < 128,
+    # so every gather below is in-bounds without a clamp (the cand <
+    # n_items / live guards keep out-of-range lanes from being selected;
+    # their gathered garbage is off_eff's sentinel anyway).  The full-
+    # width n_items == 128 trees (mcl <= 4 halvings) keep the clamps.
+    tight = n_items + (n_items >> 1) <= 128
+
+    def _cl(idx, hi):
+        return idx if tight else jnp.minimum(idx, hi)
+
     step = n_items >> 1
     while step:
         cand = s + step
-        oc = jnp.take_along_axis(off_eff,
-                                 jnp.minimum(cand, n_items - 1), axis=1)
+        oc = jnp.take_along_axis(off_eff, _cl(cand, n_items - 1), axis=1)
         s = jnp.where((cand < n_items) & (oc <= bitpos), cand, s)
         step >>= 1
-    # c = 0: the covering item's within-slot funnel at local bit lb
+    # c = 0: the covering item's within-slot funnel at local bit lb.
+    # Gather indices past the live span only occur on DEAD lanes (bitpos
+    # >= total, zeroed below), so a cheap & 127 wrap replaces clip.
     off_s = jnp.take_along_axis(off, s, axis=1)
     lb = bitpos - off_s
     w = lb >> 5
     sh = (lb & 31).astype(_U32)
-    v0 = jnp.take_along_axis(vals[0], jnp.clip(S * s + w, 0, 127), axis=1)
+    v0 = jnp.take_along_axis(vals[0], (S * s + w) & 127, axis=1)
     acc = _shl_u(v0, sh)
     if S > 1:
-        v1 = jnp.take_along_axis(vals[0],
-                                 jnp.clip(S * s + w + 1, 0, 127), axis=1)
+        v1 = jnp.take_along_axis(vals[0], (S * s + w + 1) & 127, axis=1)
         v1 = jnp.where(w + 1 < S, v1, _U32(0))
         acc = acc | _shr_u(_shr_u(v1, _U32(31) - sh), _U32(1))
     # c >= 1: items starting inside the dest word contribute their head
     for c in range(1, C):
-        idx_c = jnp.minimum(s + c, n_items - 1)
-        off_c = jnp.take_along_axis(off_eff, idx_c, axis=1)
-        # s+c past the last item would alias item n_items-1's offset
-        # while the value gather clips to a different lane — mask it
+        off_c = jnp.take_along_axis(off_eff, _cl(s + c, n_items - 1),
+                                    axis=1)
         live = (s + c < n_items) & (off_c > bitpos) & (off_c < bitpos + 32)
-        v_c = jnp.take_along_axis(vals[0],
-                                  jnp.clip(S * (s + c), 0, 127), axis=1)
+        v_c = jnp.take_along_axis(vals[0], (S * (s + c)) & 127, axis=1)
         acc = acc | jnp.where(live,
                               _shr_u(v_c, (off_c - bitpos).astype(_U32)),
                               _U32(0))
@@ -516,6 +576,15 @@ def encode_tree_chunks(word_chunks, table_lanes, valid_col,
     # the 8 -> 16 byte level)
     finished = False
     while n_items > n_stop:
+        if (compact16 and item_bytes == 4 and len(vals) == 2
+                and n_items == 256 and S == 1 and n_stop < 64):
+            # fused 4B -> 16B quad merge: skips the 8-byte level entirely
+            vals, alenc, v = _merge_quad16(vals, alenc, it)
+            viol = v if viol is None else (viol | v)
+            n_items //= 4
+            item_bytes = 16
+            S = 2
+            continue
         if (compact16 and item_bytes == 8 and len(vals) > 1
                 and n_items == 128 and S in (2, 4) and n_stop < 64):
             vals, alenc, v = _merge_compact16(vals, alenc, n_items, S, it)
@@ -643,7 +712,7 @@ BITS_MASK = (1 << 30) - 1
                                     "table_rows", "detect_missing"))
 def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
                          lengths: jax.Array, valid_bytes: jax.Array,
-                         capacity_words: int, block_tile: int = 512,
+                         capacity_words: int, block_tile: int = 256,
                          interpret: bool = False, max_code_len: int = 16,
                          halve_to_chunks: int = 0,
                          compact16: bool = False, table_rows: int = 2,
@@ -662,9 +731,11 @@ def encode_blocks_pallas(byte_blocks: jax.Array, codes: jax.Array,
     invalid and must be re-encoded with the safe tree (mask with
     BITS_MASK for the count).
 
-    block_tile swept at 64 MiB on the product config (round 4, GB/s):
-    t=256: 45.0, 384: 52.8, 512: 54.7, 768: 44.9, 1024: 51.8 — deeper
-    row batching keeps the gather-heavy merge chain pipelined.
+    block_tile: with the round-5 quad16 + trimmed finish tree, t=256
+    edges t=512/1024 at every size (47.6 / 45.1 / 45.1 GB/s at 1 GiB,
+    reps >= 16 — experiments/probe_size_cliff.py; round 4's "54.7 at
+    64 MiB, t=512" was tunnel jitter at reps=4, and its size cliff does
+    not reproduce: the kernel is size-flat).
     """
     nb, bb = byte_blocks.shape
     if byte_blocks.dtype == jnp.uint32:
