@@ -426,6 +426,42 @@ def main() -> None:
             extra["dense_decode_ok"] = bool(np.array_equal(dec, sub4))
         except Exception as e:  # pragma: no cover
             extra["dense_decode_error"] = str(e)[:120]
+        try:
+            # device-resident dense decode kernel (round 5: inverse-pack
+            # staging + grouped vector reader), slope-timed at ex_mb
+            from huffman_tpu.ops.pallas.dense_decode import (
+                decode_dense_pallas, plan_dense_decode)
+            enc_d = api.encode(data_ex, cfg, codebook=cb)
+            meta, val_t, srow, _nbp, rn = plan_dense_decode(
+                enc_d.block_bits, enc_d.n_bytes, cfg.block_bytes)
+            sw = np.asarray(enc_d.stream_words, np.uint32)
+            rws = np.concatenate(
+                [sw, np.zeros(rn * 128 - sw.size, np.uint32)]
+            ).reshape(-1, 128)
+            limd, offd, permd, mld = cb.canonical_decode_arrays()
+            mcl_d = int(cb.lengths.max())
+            dd_rows = jax.device_put(jnp.asarray(rws))
+            dd_args = [jax.device_put(jnp.asarray(x)) for x in
+                       (meta, val_t, srow, limd, offd,
+                        np.asarray([mld], np.int32), permd)]
+
+            def mk_ddec():
+                @jax.jit
+                def fn(k, a_rows):
+                    def body(_, carry):
+                        rr = a_rows.at[0, 0].set(carry)
+                        o = decode_dense_pallas(
+                            rr, *dd_args, mcl=mcl_d,
+                            two_row_perm=permd.size > 128,
+                            rounds=cfg.block_bytes // 4)
+                        return (o[0, 0] ^ o[0, 1]).astype(jnp.uint32)
+                    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+                return fn, (dd_rows,)
+            t_dd = slope_time(mk_ddec, "dense_decode_dev")
+            extra["dense_decode_dev_gbps"] = round(
+                data_ex.size / t_dd / 1e9, 3)
+        except Exception as e:  # pragma: no cover
+            extra["dense_decode_dev_error"] = str(e)[:120]
 
     if ("sharded" not in skip and use_pallas
             and not over_budget("sharded")):

@@ -542,22 +542,40 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
                    codebook=cb, n_bytes=n, config=cfg)
 
 
-def decode(enc: Encoded) -> np.ndarray:
-    """Decode an Encoded stream on the default device. Returns uint8 array."""
+def _dense_device_ok(enc: Encoded) -> bool:
+    """Gate for the Mosaic dense-decode kernel (ops/pallas/dense_decode):
+    one staged row per block caps the block at 128 stream words, and the
+    4-symbol round loop wants a 4-divisible block size."""
+    cfg = enc.config
+    return (cfg.block_bytes <= 1024 and cfg.block_bytes % 4 == 0
+            and len(enc.block_bits) > 0
+            and int(np.asarray(enc.block_bits).max(initial=0)) <= 4096)
+
+
+def decode(enc: Encoded, interpret: bool = False) -> np.ndarray:
+    """Decode an Encoded stream on the default device. Returns uint8 array.
+
+    On TPU the DENSE (reference-format) stream now decodes on device via
+    the inverse-pack staging + grouped vector reader kernel
+    (ops/pallas/dense_decode.py — round 5; 5.6 GB/s vs the XLA
+    fallback's 0.011): blocks whose bit offsets the container already
+    carries are staged into their own rows, then read 128-per-lane-group
+    with cursor-normalized MXU-transposed refills.  Elsewhere (CPU mesh,
+    oversized blocks, capacity > 128 words) the XLA table-gather path
+    below remains the portable fallback; pass interpret=True to run the
+    Mosaic kernel under the Pallas interpreter off-TPU (tests).
+    """
     if enc.n_bytes == 0:
         return np.zeros(0, np.uint8)
     cfg = enc.config
+    if _dense_device_ok(enc) and (
+            interpret or jax.default_backend() == "tpu"):
+        from .ops.pallas.dense_decode import decode_dense
+        return decode_dense(enc.stream_words, enc.block_bits, enc.n_bytes,
+                            enc.codebook, block_bytes=cfg.block_bytes,
+                            interpret=interpret)
     valid = valid_per_block(enc.n_bytes, len(enc.block_bits),
                             cfg.block_bytes)
-    # NOTE: dense-format decode has no Mosaic kernel BY DESIGN: each of
-    # the 1024 parallel lanes would need its own window at an arbitrary
-    # word offset in the dense stream, which on TPU means either per-lane
-    # DMAs (~4k/tile) or full-depth in-VMEM gathers — both measured or
-    # estimated at <= ~1 GB/s, i.e. no better than the wide format already
-    # delivers with uniform-cursor refills.  The fast device decode path
-    # is the WIDE (interleaved) container (wide.py / ops/pallas/wide.py,
-    # built precisely so the vector reader's refill is one aligned DMA);
-    # this dense path is the bit-compatible XLA fallback.
     from .ops.scan import exclusive_bit_offsets
     offsets = exclusive_bit_offsets(jnp.asarray(enc.block_bits, jnp.int32))
     syms, lens = enc.codebook.decode_table(cfg.decode_table_bits)

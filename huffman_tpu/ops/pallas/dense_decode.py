@@ -1,0 +1,474 @@
+"""Pallas TPU decoder for the DENSE (reference-compatible) bitstream.
+
+The dense format is one MSB-first bit-concatenated stream — exactly the
+reference encoder's output (cpuencode.cpp:13-46) — and was long decoded
+on the XLA fallback at ~0.01 GB/s: a bit-serial format offers no aligned
+per-lane windows, and TPUs have no deep per-lane gather (api.decode's
+old NOTE).  This kernel closes that gap with a three-idea design, all
+built from native vector moves (round-5, VERDICT item 3):
+
+  1. INVERSE-PACK STAGING (in-kernel): the container's per-block bit
+     counts give every block's exact bit offset (the reference stores
+     the same scan output, pack_kernels.cu:19-52 `cindex2`); per 8-block
+     subtile one small DMA window over the stream plus two lane-rotated
+     row fetches and a funnel shift land each block LEFT-ALIGNED in its
+     own row of a (128, 128) group tile — the pack kernel's placement
+     trick run in reverse.
+  2. TRANSPOSED REFRESH: a 128-lane reader wants lane i's NEXT words at
+     per-lane depth — a deep sublane gather TPUs don't have.  Every few
+     rounds each group re-normalizes: one full-width lane gather rotates
+     every block's row so its cursor sits at lane 0, and an MXU
+     selector matmul (u16 halves, exact in f32) transposes the first 16
+     columns into EVEN/ODD word banks — after which each round's 64-bit
+     pull is two single-vreg sublane gathers, no staircase.
+  3. The wide reader's register window (ops/pallas/wide.py round loop):
+     per lane a 128-bit buffer, canonical length from pure compares
+     (codebook.canonical_decode_arrays), 4 symbols per round.
+
+Eight groups (1024 blocks) batch per grid step so the round chain runs
+on full (8, 128) vregs.  Output words are round-major; one XLA transpose
+pass restores block order (HBM-bound, ~2 ms/GiB).
+
+Constraint: cap_words <= 128 (one row per block).  That covers every
+capacity bucket up to 4 bits/byte — the regime the dense format is used
+in; api.decode falls back to the XLA path above it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .encode import _U32, _safe_shl, _safe_shr, _shl_u, _shr_u
+
+SPR = 4                 # symbols (bytes) decoded per round per lane
+GROUPS = 8              # default block groups per grid step; taller
+#                         batches amortize the shared round-loop ALU
+#                         over more vreg rows (swept in
+#                         experiments/probe_dense_decode.py)
+SW_ROWS = 24            # stream window rows per 8-block subtile:
+#                         8-row-aligned start (<= 7 slack rows) + 8 full
+#                         blocks at cap 128 (16 rows) + funnel peek
+REFRESH = 7             # rounds between bank refreshes: <= 1 pull of 2
+#                         words per round keeps in-bank depth < 16
+
+# meta SMEM window over the per-subtile DMA row starts (the pack2
+# pattern: the full array is NB/8 entries — 512 KiB at 1 GiB, beyond
+# SMEM — so it rides in HBM with an aligned window)
+_MA = 8192
+_MW = _MA + 1024
+
+
+def _stage_subtile(win, o_bits, it8):
+    """(8, 128) staged rows for one 8-block subtile.
+
+    win: (SW_ROWS, 128) stream window rows.  o_bits: (8, 1) per-block bit
+    offset within the window.  Returns each block's first 128 stream
+    words left-aligned to its row (bit 0 = the block's first bit).
+    """
+    o_w = o_bits >> 5                       # in-window word, < SW_ROWS*128
+    sh = (o_bits & 31).astype(_U32)
+    row = o_w >> 7                          # in [0, SW_ROWS//8 * 8)
+    rot = o_w & 127
+    # two window rows per block row (its span crosses one row boundary),
+    # fetched by a 3-bank staircase over the 24-row window
+    r8 = row & 7
+    r8b = (row + 1) & 7
+    banks = [win[8 * b: 8 * b + 8] for b in range(SW_ROWS // 8)]
+
+    def stair(r, ridx):
+        a = jnp.take_along_axis(banks[0], jnp.broadcast_to(ridx, (8, 128)),
+                                axis=0)
+        b = jnp.take_along_axis(banks[1], jnp.broadcast_to(ridx, (8, 128)),
+                                axis=0)
+        c = jnp.take_along_axis(banks[2], jnp.broadcast_to(ridx, (8, 128)),
+                                axis=0)
+        return jnp.where(r < 8, a, jnp.where(r < 16, b, c))
+
+    fa = stair(row, r8)                     # rows (o>>7)
+    fb = stair(row + 1, r8b)                # rows (o>>7)+1
+    idx = (rot + it8) & 127
+    ga = jnp.take_along_axis(fa, idx, axis=1)
+    gb = jnp.take_along_axis(fb, idx, axis=1)
+    lo = it8 < 128 - rot
+    w_l = jnp.where(lo, ga, gb)             # word o_w + l
+    idx1 = (rot + it8 + 1) & 127
+    ga1 = jnp.take_along_axis(fa, idx1, axis=1)
+    gb1 = jnp.take_along_axis(fb, idx1, axis=1)
+    w_l1 = jnp.where(it8 < 127 - rot, ga1, gb1)   # word o_w + l + 1
+    return _shl_u(w_l, sh) | _shr_u(_shr_u(w_l1, _U32(31) - sh), _U32(1))
+
+
+_DN = (((1,), (1,)), ((), ()))     # contract dim1 x dim1 (MXU transpose)
+
+
+def _refresh_banks(staged, d_lane, sel_e, sel_o, ident):
+    """(even, odd) 8-row word banks for one group, cursor-normalized.
+
+    staged: (128, 128) rows=blocks.  d_lane: (128, 1) per-block word
+    cursor as a COLUMN (caller transposes the lane-major round-loop
+    cursor via one identity matmul + masked reduce — never a computed-
+    vector slice, which Mosaic miscompiles as a gather index).  A
+    full-width rotate gather puts word d_i + k at lane k of row i, and
+    the MXU selector matmuls (sel_e/sel_o: (8, 128) f32 rows picking
+    even/odd lanes < 16, exact on u16 halves) transpose those lanes
+    into banks: even[r, i] = word d_i + 2r, odd[r, i] = d_i + 2r + 1.
+    """
+    d_row = d_lane                           # (128, 1): d of block=row
+    it = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rot = jnp.take_along_axis(staged, (d_row + it) & 127, axis=1)
+    # u32 <-> f32 casts are unsupported in Mosaic: route through int32
+    # (both u16 halves fit int32 exactly)
+    lo = (rot & _U32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    hi = (rot >> _U32(16)).astype(jnp.int32).astype(jnp.float32)
+
+    def tsel(sel):
+        # HIGHEST precision: the default bf16 MXU pass truncates the u16
+        # halves (observed: low 24 bits zeroed on v5e)
+        l = jax.lax.dot_general(sel, lo, _DN,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        h = jax.lax.dot_general(sel, hi, _DN,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        li = l.astype(jnp.int32).astype(_U32)
+        hi_i = h.astype(jnp.int32).astype(_U32)
+        return li | (hi_i << _U32(16))
+
+    return tsel(sel_e), tsel(sel_o)
+
+
+def _decode_dense_kernel(lim_ref, off_ref, lb_ref, sel_ref, perm_ref,
+                         meta_ref, valid_ref, stream_hbm, strow_hbm,
+                         out_ref, wins, staged_refs, banks_ref, sems,
+                         msem, mwin, *, mcl: int, two_row_perm: bool,
+                         n_steps: int, rounds: int, groups: int):
+    g = pl.program_id(0)
+    n_sub = groups * 16                      # 8-block subtiles per step
+    st0 = g * n_sub
+
+    # ---- meta SMEM window over per-subtile stream row starts
+    a0 = pl.multiple_of((st0 // _MA) * _MA, 1024)
+    prev_a0 = ((jnp.maximum(g, 1) - 1) * n_sub // _MA) * _MA
+
+    @pl.when((g == 0) | (a0 != prev_a0))
+    def _():
+        c = pltpu.make_async_copy(strow_hbm.at[pl.ds(a0, _MW)], mwin, msem)
+        c.start()
+        c.wait()
+
+    # ---- stage: per subtile, DMA a stream window and place 8 blocks
+    # into their group tile rows (ring of 8 window buffers)
+    nring = len(wins)
+
+    def win_copy(s, slot):
+        r0 = pl.multiple_of(mwin[st0 + s - a0], 8)
+        return pltpu.make_async_copy(
+            stream_hbm.at[pl.ds(r0, SW_ROWS)], wins[slot], sems.at[slot])
+
+    for s in range(nring):
+        win_copy(s, s).start()
+    it8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    for s in range(n_sub):
+        slot = s % nring
+        win_copy(s, slot).wait()
+        rows = _stage_subtile(wins[slot][:], meta_ref[pl.ds(8 * s, 8)],
+                              it8)
+        if s + nring < n_sub:
+            win_copy(s + nring, slot).start()
+        grp = s // 16
+        staged_refs[grp][pl.ds(pl.multiple_of(8 * (s % 16), 8), 8)] = rows
+
+    # ---- round loop: groups stacked as (groups, 128); lane = block
+    R = groups
+    valid = valid_ref[:]                     # (8, 128) bytes per block
+    lims = [lim_ref[L] for L in range(1, min(mcl, 15) + 1)]
+    offs = [off_ref[L] for L in range(1, min(mcl, 15) + 1)]
+    lenbase = lb_ref[0]
+    bias = _U32(1) << _U32(31)
+    sel_e = sel_ref[0:8]
+    sel_o = sel_ref[8:16]
+    ident = sel_ref[16:144]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+
+    lane_g8 = jax.lax.broadcasted_iota(jnp.int32, (128, groups), 1)
+
+    def refresh(d):
+        # transpose the (8, 128) lane-major cursor to (128, 8) columns
+        # with ONE identity matmul (values <= ~260: exact in f32), then
+        # per group a masked lane-reduce -> (128, 1) — no vector slices
+        dT = jax.lax.dot_general(ident, d.astype(jnp.float32), _DN,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        dTi = dT.astype(jnp.int32)           # (128, groups): dTi[i, g]
+        for grp in range(groups):
+            dg = jnp.sum(jnp.where(lane_g8 == grp, dTi, 0),
+                         axis=1, keepdims=True)
+            e, o = _refresh_banks(staged_refs[grp][:], dg, sel_e, sel_o,
+                                  ident)
+            banks_ref[pl.ds(pl.multiple_of(16 * grp, 8), 8)] = e
+            banks_ref[pl.ds(pl.multiple_of(16 * grp + 8, 8), 8)] = o
+
+    def round_body(j, carry):
+        b0, b1, b2, b3, avail, d, base = carry
+
+        is_rf = j % REFRESH == 0
+
+        @pl.when(is_rf)
+        def _():
+            refresh(d)
+        # scalar-cond select on vregs trips a Mosaic relayout ("replicated
+        # in destination but not in source"); arithmetic blend instead
+        base = base + (d - base) * is_rf.astype(jnp.int32)
+
+        rem = (valid + (SPR - 1)) // SPR - j   # rounds left per lane
+        pull = (avail < 48) & (avail < mcl * SPR * rem) & (rem > 0)
+        depth = d - base                      # in [0, 13] at read time
+        # EVEN/ODD banks: w0 = word d, w1 = word d+1, no staircase.
+        # Gathers use the FULL (8, 128) per-row index — only row grp is
+        # meaningful per bank, the rest gather garbage that the sel mask
+        # kills (a sliced/broadcast index miscompiles in Mosaic).
+        ei = ((depth + 1) >> 1) & 7
+        oi = (depth >> 1) & 7
+        even = (depth & 1) == 0
+        w0 = jnp.zeros((R, 128), _U32)
+        w1 = jnp.zeros((R, 128), _U32)
+        for grp in range(groups):
+            eb = banks_ref[pl.ds(pl.multiple_of(16 * grp, 8), 8)]
+            ob = banks_ref[pl.ds(pl.multiple_of(16 * grp + 8, 8), 8)]
+            ge = jnp.take_along_axis(eb, ei, axis=0)
+            go = jnp.take_along_axis(ob, oi, axis=0)
+            sel = row_i == grp
+            w0 = jnp.where(sel & even, ge, jnp.where(sel, go, w0))
+            w1 = jnp.where(sel & even, go, jnp.where(sel, ge, w1))
+        w0 = jnp.where(pull, w0, _U32(0))
+        w1 = jnp.where(pull, w1, _U32(0))
+        d = jnp.where(pull, d + 2, d)
+
+        # append 64 bits at bit position avail (<= 47) of (b0..b3)
+        for t in range(3):
+            sh = avail - 32 * t
+            piece = _safe_shr(w0, sh) | _safe_shl(w0, -sh)
+            if t == 0:
+                b0 = b0 | piece
+            elif t == 1:
+                b1 = b1 | piece
+            else:
+                b2 = b2 | piece
+        for t in range(1, 4):
+            sh = avail - 32 * (t - 1)
+            piece = _safe_shr(w1, sh) | _safe_shl(w1, -sh)
+            if t == 1:
+                b1 = b1 | piece
+            elif t == 2:
+                b2 = b2 | piece
+            else:
+                b3 = b3 | piece
+        avail = jnp.where(pull, avail + 64, avail)
+
+        acc = jnp.zeros((R, 128), _U32)
+        for u in range(SPR):
+            act = (SPR * j + u) < valid
+            vb = (b0 ^ bias).astype(jnp.int32)
+            lv = None
+            for ind in [(vb > lim).astype(jnp.int32) for lim in lims]:
+                lv = ind if lv is None else lv + ind
+            lv = lv + lenbase
+            ov = jnp.zeros((R, 128), jnp.int32)
+            for L, offv in zip(range(1, len(offs) + 1), offs):
+                ov = jnp.where(lv == L, offv, ov)
+            idx = (_shr_u(b0, 32 - lv)).astype(jnp.int32) + ov
+            if two_row_perm:
+                lo = jnp.clip(idx, 0, 255)
+                p0 = jnp.broadcast_to(perm_ref[0:1, :], (R, 128))
+                p1 = jnp.broadcast_to(perm_ref[1:2, :], (R, 128))
+                s0 = jnp.take_along_axis(p0, lo & 127, axis=1)
+                s1 = jnp.take_along_axis(p1, lo & 127, axis=1)
+                sym = jnp.where(lo < 128, s0, s1)
+            else:
+                lo = jnp.clip(idx, 0, 127)
+                sym = jnp.take_along_axis(
+                    jnp.broadcast_to(perm_ref[0:1, :], (R, 128)), lo,
+                    axis=1)
+            ln = jnp.where(act, lv, 0)
+            # LE byte order: symbol u of the round at bits [8u, 8u+8)
+            acc = acc | (jnp.where(act, sym, 0).astype(_U32)
+                         << _U32(8 * u))
+            b0 = _safe_shl(b0, ln) | _safe_shr(b1, 32 - ln)
+            b1 = _safe_shl(b1, ln) | _safe_shr(b2, 32 - ln)
+            b2 = _safe_shl(b2, ln) | _safe_shr(b3, 32 - ln)
+            b3 = _safe_shl(b3, ln)
+            avail = avail - ln
+
+        out_ref[pl.ds(pl.multiple_of(8 * j, 8), 8)] = acc.astype(jnp.int32)
+        return b0, b1, b2, b3, avail, d, base
+
+    # carry inits derived from loaded data, not jnp.zeros: a replicated-
+    # constant init forces an invalid {0,0} -> {*,*} relayout on the
+    # fori_loop carry (Mosaic cannot re-replicate divergent data)
+    zi = jnp.minimum(valid, 0)
+    z = zi.astype(_U32)
+    jax.lax.fori_loop(0, rounds, round_body, (z, z, z, z, zi, zi, zi))
+
+
+def plan_dense_decode(block_bits, n_bytes: int, block_bytes: int = 1024,
+                      groups: int = GROUPS):
+    """Host plan: (meta_bits, valid_t, st_row0, nbp, stream_rows_needed).
+
+    block_bits: host int per-block bit counts.  meta_bits[i] = block i's
+    bit offset within ITS subtile's DMA window; st_row0[st] = the
+    window's 8-aligned stream row.  valid_t: (nbp//128, 128) valid bytes
+    with lane = block (the kernel's group layout).
+    """
+    bits = np.asarray(block_bits, np.int64)
+    nb = bits.size
+    gb = groups * 128
+    nbp = -(-nb // gb) * gb
+    ends = np.cumsum(bits)
+    starts = np.zeros(nbp, np.int64)
+    starts[1: nb] = ends[: nb - 1]
+    starts[nb:] = ends[-1] if nb else 0
+    wb = starts >> 5
+    st_row0 = ((wb[:: 8] >> 7) & ~np.int64(7)).astype(np.int32)
+    meta_bits = (starts - (st_row0.astype(np.int64).repeat(8) << 12)
+                 ).astype(np.int32)
+    valid = np.zeros(nbp, np.int32)
+    full = n_bytes // block_bytes
+    valid[: min(full, nb)] = block_bytes
+    if full < nb:
+        valid[full] = n_bytes - full * block_bytes
+    valid_t = valid.reshape(-1, 128)
+    rows_needed = int(st_row0.max(initial=0)) + SW_ROWS
+    return meta_bits, valid_t, st_row0, nbp, rows_needed
+
+
+@functools.partial(jax.jit, static_argnames=("mcl", "two_row_perm",
+                                             "rounds", "groups",
+                                             "interpret"))
+def decode_dense_pallas(stream_rows: jax.Array, meta_bits: jax.Array,
+                        valid_t: jax.Array, st_row0: jax.Array,
+                        lim_b: jax.Array, off: jax.Array,
+                        min_len: jax.Array, perm: jax.Array,
+                        mcl: int, two_row_perm: bool,
+                        rounds: int = 256, groups: int = GROUPS,
+                        interpret: bool = False):
+    """(nbp//128 * rounds, 128) i32 decoded words, round-major.
+
+    Word w of block 128*grp_step + lane lives at row
+    (step*GROUPS*rounds... see decode_dense() for the unscramble);
+    stream_rows: (rows, 128) u32 dense stream (plan's rows_needed rows).
+    """
+    nbp = meta_bits.shape[0]
+    n_steps = nbp // (groups * 128)
+    permb = jnp.zeros(256, jnp.int32).at[: perm.shape[0]].set(
+        perm.astype(jnp.int32)).reshape(2, 128)
+    permb = jnp.concatenate([permb, jnp.zeros((6, 128), jnp.int32)])
+    # MXU consts: rows 0-7 even-lane selector, 8-15 odd, 16-143 identity
+    ii = np.arange(8)[:, None]
+    jj = np.arange(128)[None, :]
+    sel = np.concatenate([(jj == 2 * ii).astype(np.float32),
+                          (jj == 2 * ii + 1).astype(np.float32),
+                          np.eye(128, dtype=np.float32)])
+    strow_pad = jnp.pad(st_row0.astype(jnp.int32), (0, _MW))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((144, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups * 128, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec((groups * rounds, 128), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=(
+            [pltpu.VMEM((SW_ROWS, 128), _U32) for _ in range(8)]
+            + [pltpu.VMEM((128, 128), _U32) for _ in range(groups)]
+            + [pltpu.VMEM((16 * groups, 128), _U32),
+               pltpu.SemaphoreType.DMA((8,)),
+               pltpu.SemaphoreType.DMA,
+               pltpu.SMEM((_MW,), jnp.int32)]),
+    )
+
+    def kern(lim, offv, lb, sel_r, permr, meta, val, stream, srow,
+             out, *scratch):
+        wins = scratch[:8]
+        staged = scratch[8: 8 + groups]
+        banks = scratch[8 + groups]
+        sems = scratch[9 + groups]
+        msem = scratch[10 + groups]
+        mwin = scratch[11 + groups]
+        _decode_dense_kernel(lim, offv, lb, sel_r, permr, meta, val,
+                             stream, srow, out, wins, staged, banks,
+                             sems, msem, mwin, mcl=mcl,
+                             two_row_perm=two_row_perm,
+                             n_steps=n_steps, rounds=rounds,
+                             groups=groups)
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_steps * groups * rounds, 128),
+                                       jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(lim_b.astype(jnp.int32), off.astype(jnp.int32),
+      min_len.astype(jnp.int32).reshape(1),
+      jnp.asarray(sel), permb, meta_bits.astype(jnp.int32).reshape(-1, 1),
+      valid_t.astype(jnp.int32), stream_rows, strow_pad)
+    return out
+
+
+def decode_dense(stream_words, block_bits, n_bytes: int, codebook,
+                 block_bytes: int = 1024, groups: int = GROUPS,
+                 interpret: bool = False):
+    """Full dense device decode: container fields -> uint8 bytes.
+
+    stream_words: host/device (M,) u32 dense stream.  block_bits: host
+    per-block bit counts (container data).  Supports block_bytes <= 1024
+    and capacity <= 128 words/block (the caller gates; api.decode falls
+    back to the XLA path otherwise).
+    """
+    rounds = block_bytes // SPR
+    meta_bits, valid_t, st_row0, nbp, rows_needed = plan_dense_decode(
+        block_bits, n_bytes, block_bytes, groups)
+    sw = np.asarray(stream_words, np.uint32)
+    pad = rows_needed * 128 - sw.size
+    rows = np.concatenate([sw, np.zeros(pad, np.uint32)]).reshape(-1, 128)
+    lim_b, off, perm, min_len = codebook.canonical_decode_arrays()
+    mcl = int(np.asarray(codebook.lengths).max(initial=1)) or 1
+    out = decode_dense_pallas(
+        jnp.asarray(rows), jnp.asarray(meta_bits), jnp.asarray(valid_t),
+        jnp.asarray(st_row0), jnp.asarray(lim_b), jnp.asarray(off),
+        jnp.asarray(np.asarray([min_len], np.int32)), jnp.asarray(perm),
+        mcl=mcl, two_row_perm=perm.size > 128, rounds=rounds,
+        groups=groups, interpret=interpret)
+    words = unscramble_rounds(out, rounds, groups)
+    return np.asarray(words).view(np.uint8).reshape(-1)[: n_bytes]
+
+
+def unscramble_rounds(out: jax.Array, rounds: int = 256,
+                      groups: int = GROUPS) -> jax.Array:
+    """Round-major kernel output -> (NBp, rounds) block-major u32 words.
+
+    One XLA transpose pass (HBM-bound).  Row layout in: step-major, then
+    round j, then group g at row step*GROUPS*rounds + j*GROUPS + g, with
+    lane = block within group.
+    """
+    n = out.shape[0] // (groups * rounds)
+    x = out.reshape(n, rounds, groups, 128)
+    x = jnp.transpose(x, (0, 2, 3, 1))          # (n, groups, 128, rounds)
+    return jax.lax.bitcast_convert_type(
+        x.reshape(n * groups * 128, rounds), jnp.uint32)

@@ -584,6 +584,14 @@ def plan_pack(block_bits_host, cap_words: int = 256,
             f"pack tile covered by {k_need} blocks — corrupt block_bits?")
     f_tile = np.maximum(
         np.searchsorted(word_base, tile_starts, "left") - 1, 0)
+    # DEAD tiles (bucket padding past the last real word) would otherwise
+    # carry f = last-block and blow the kernel's SMEM meta window when a
+    # step straddles the live/dead boundary (latent OOB SMEM reads found
+    # by check_meta_window, round 5).  Clamp them to the last live tile's
+    # f: their segments then read real meta and mask to zero cleanly.
+    n_live = max(1, -(-total_words // TILE_WORDS))
+    if n_live < n_tiles:
+        f_tile[n_live:] = f_tile[n_live - 1]
     k_bucket = max(-(-k_need // k_mult) * k_mult, k_mult)
     check_meta_window(f_tile, n_tiles, k_bucket)
     return (n_tiles, k_bucket, f_tile.astype(np.int32))
