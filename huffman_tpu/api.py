@@ -571,8 +571,12 @@ def decode(enc: Encoded, interpret: bool = False) -> np.ndarray:
     if _dense_device_ok(enc) and (
             interpret or jax.default_backend() == "tpu"):
         from .ops.pallas.dense_decode import decode_dense
+        # 32 groups/step on hardware (swept: 8: 5.5, 16: 6.5, 32: 7.0
+        # GB/s, 64 OOMs scoped VMEM — experiments/probe_dense_decode.py);
+        # 8 under the interpreter keeps the unrolled body small for tests
         return decode_dense(enc.stream_words, enc.block_bits, enc.n_bytes,
                             enc.codebook, block_bytes=cfg.block_bytes,
+                            groups=8 if interpret else 32,
                             interpret=interpret)
     valid = valid_per_block(enc.n_bytes, len(enc.block_bits),
                             cfg.block_bytes)

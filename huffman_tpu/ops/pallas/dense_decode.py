@@ -184,9 +184,11 @@ def _decode_dense_kernel(lim_ref, off_ref, lb_ref, sel_ref, perm_ref,
         grp = s // 16
         staged_refs[grp][pl.ds(pl.multiple_of(8 * (s % 16), 8), 8)] = rows
 
-    # ---- round loop: groups stacked as (groups, 128); lane = block
-    R = groups
-    valid = valid_ref[:]                     # (8, 128) bytes per block
+    # ---- round loop: STACKS independent (8, 128) states, one group per
+    # state row.  A single dependent chain leaves the VPU latency-bound
+    # (the wide reader's td lesson, ops/pallas/wide.py:287-291):
+    # independent stacks' chains interleave and pipeline.
+    stacks = groups // 8
     lims = [lim_ref[L] for L in range(1, min(mcl, 15) + 1)]
     offs = [off_ref[L] for L in range(1, min(mcl, 15) + 1)]
     lenbase = lb_ref[0]
@@ -194,20 +196,22 @@ def _decode_dense_kernel(lim_ref, off_ref, lb_ref, sel_ref, perm_ref,
     sel_e = sel_ref[0:8]
     sel_o = sel_ref[8:16]
     ident = sel_ref[16:144]
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane_g8 = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1)
+    valids = [valid_ref[pl.ds(pl.multiple_of(8 * s, 8), 8)]
+              for s in range(stacks)]
 
-    lane_g8 = jax.lax.broadcasted_iota(jnp.int32, (128, groups), 1)
-
-    def refresh(d):
-        # transpose the (8, 128) lane-major cursor to (128, 8) columns
-        # with ONE identity matmul (values <= ~260: exact in f32), then
-        # per group a masked lane-reduce -> (128, 1) — no vector slices
+    def refresh(s, d):
+        # transpose the stack's (8, 128) lane-major cursor to (128, 8)
+        # columns with ONE identity matmul (values <= ~260: exact in
+        # f32), then per group a masked lane-reduce — no vector slices
         dT = jax.lax.dot_general(ident, d.astype(jnp.float32), _DN,
                                  preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)
-        dTi = dT.astype(jnp.int32)           # (128, groups): dTi[i, g]
-        for grp in range(groups):
-            dg = jnp.sum(jnp.where(lane_g8 == grp, dTi, 0),
+        dTi = dT.astype(jnp.int32)           # (128, 8): dTi[i, r]
+        for r in range(8):
+            grp = 8 * s + r
+            dg = jnp.sum(jnp.where(lane_g8 == r, dTi, 0),
                          axis=1, keepdims=True)
             e, o = _refresh_banks(staged_refs[grp][:], dg, sel_e, sel_o,
                                   ident)
@@ -216,104 +220,123 @@ def _decode_dense_kernel(lim_ref, off_ref, lb_ref, sel_ref, perm_ref,
 
     def round_body(j, carry):
         b0, b1, b2, b3, avail, d, base = carry
-
         is_rf = j % REFRESH == 0
 
         @pl.when(is_rf)
         def _():
-            refresh(d)
+            for s in range(stacks):
+                refresh(s, d[s])
+        rf = is_rf.astype(jnp.int32)
         # scalar-cond select on vregs trips a Mosaic relayout ("replicated
         # in destination but not in source"); arithmetic blend instead
-        base = base + (d - base) * is_rf.astype(jnp.int32)
+        base = [bs + (ds - bs) * rf for bs, ds in zip(base, d)]
 
-        rem = (valid + (SPR - 1)) // SPR - j   # rounds left per lane
-        pull = (avail < 48) & (avail < mcl * SPR * rem) & (rem > 0)
-        depth = d - base                      # in [0, 13] at read time
-        # EVEN/ODD banks: w0 = word d, w1 = word d+1, no staircase.
-        # Gathers use the FULL (8, 128) per-row index — only row grp is
-        # meaningful per bank, the rest gather garbage that the sel mask
-        # kills (a sliced/broadcast index miscompiles in Mosaic).
-        ei = ((depth + 1) >> 1) & 7
-        oi = (depth >> 1) & 7
-        even = (depth & 1) == 0
-        w0 = jnp.zeros((R, 128), _U32)
-        w1 = jnp.zeros((R, 128), _U32)
-        for grp in range(groups):
-            eb = banks_ref[pl.ds(pl.multiple_of(16 * grp, 8), 8)]
-            ob = banks_ref[pl.ds(pl.multiple_of(16 * grp + 8, 8), 8)]
-            ge = jnp.take_along_axis(eb, ei, axis=0)
-            go = jnp.take_along_axis(ob, oi, axis=0)
-            sel = row_i == grp
-            w0 = jnp.where(sel & even, ge, jnp.where(sel, go, w0))
-            w1 = jnp.where(sel & even, go, jnp.where(sel, ge, w1))
-        w0 = jnp.where(pull, w0, _U32(0))
-        w1 = jnp.where(pull, w1, _U32(0))
-        d = jnp.where(pull, d + 2, d)
+        nb0, nb1, nb2, nb3 = [], [], [], []
+        navail, nd = [], []
+        for s in range(stacks):
+            valid = valids[s]
+            rem = (valid + (SPR - 1)) // SPR - j
+            pull = ((avail[s] < 48) & (avail[s] < mcl * SPR * rem)
+                    & (rem > 0))
+            depth = d[s] - base[s]            # in [0, 13] at read time
+            # EVEN/ODD banks: w0 = word depth, w1 = depth + 1, no
+            # staircase.  Gathers use the FULL (8, 128) per-row index —
+            # only row r is meaningful per bank, the rest gather garbage
+            # the sel mask kills (a sliced/broadcast index miscompiles).
+            ei = ((depth + 1) >> 1) & 7
+            oi = (depth >> 1) & 7
+            even = (depth & 1) == 0
+            w0 = jnp.zeros((8, 128), _U32)
+            w1 = jnp.zeros((8, 128), _U32)
+            for r in range(8):
+                grp = 8 * s + r
+                eb = banks_ref[pl.ds(pl.multiple_of(16 * grp, 8), 8)]
+                ob = banks_ref[pl.ds(pl.multiple_of(16 * grp + 8, 8), 8)]
+                ge = jnp.take_along_axis(eb, ei, axis=0)
+                go = jnp.take_along_axis(ob, oi, axis=0)
+                sel = row_i == r
+                w0 = jnp.where(sel & even, ge, jnp.where(sel, go, w0))
+                w1 = jnp.where(sel & even, go, jnp.where(sel, ge, w1))
+            w0 = jnp.where(pull, w0, _U32(0))
+            w1 = jnp.where(pull, w1, _U32(0))
+            nd.append(jnp.where(pull, d[s] + 2, d[s]))
 
-        # append 64 bits at bit position avail (<= 47) of (b0..b3)
-        for t in range(3):
-            sh = avail - 32 * t
-            piece = _safe_shr(w0, sh) | _safe_shl(w0, -sh)
-            if t == 0:
-                b0 = b0 | piece
-            elif t == 1:
-                b1 = b1 | piece
-            else:
-                b2 = b2 | piece
-        for t in range(1, 4):
-            sh = avail - 32 * (t - 1)
-            piece = _safe_shr(w1, sh) | _safe_shl(w1, -sh)
-            if t == 1:
-                b1 = b1 | piece
-            elif t == 2:
-                b2 = b2 | piece
-            else:
-                b3 = b3 | piece
-        avail = jnp.where(pull, avail + 64, avail)
+            # append 64 bits at bit position avail (<= 47) of (b0..b3)
+            c0, c1, c2, c3 = b0[s], b1[s], b2[s], b3[s]
+            av = avail[s]
+            for t in range(3):
+                sh = av - 32 * t
+                piece = _safe_shr(w0, sh) | _safe_shl(w0, -sh)
+                if t == 0:
+                    c0 = c0 | piece
+                elif t == 1:
+                    c1 = c1 | piece
+                else:
+                    c2 = c2 | piece
+            for t in range(1, 4):
+                sh = av - 32 * (t - 1)
+                piece = _safe_shr(w1, sh) | _safe_shl(w1, -sh)
+                if t == 1:
+                    c1 = c1 | piece
+                elif t == 2:
+                    c2 = c2 | piece
+                else:
+                    c3 = c3 | piece
+            av = jnp.where(pull, av + 64, av)
 
-        acc = jnp.zeros((R, 128), _U32)
-        for u in range(SPR):
-            act = (SPR * j + u) < valid
-            vb = (b0 ^ bias).astype(jnp.int32)
-            lv = None
-            for ind in [(vb > lim).astype(jnp.int32) for lim in lims]:
-                lv = ind if lv is None else lv + ind
-            lv = lv + lenbase
-            ov = jnp.zeros((R, 128), jnp.int32)
-            for L, offv in zip(range(1, len(offs) + 1), offs):
-                ov = jnp.where(lv == L, offv, ov)
-            idx = (_shr_u(b0, 32 - lv)).astype(jnp.int32) + ov
-            if two_row_perm:
-                lo = jnp.clip(idx, 0, 255)
-                p0 = jnp.broadcast_to(perm_ref[0:1, :], (R, 128))
-                p1 = jnp.broadcast_to(perm_ref[1:2, :], (R, 128))
-                s0 = jnp.take_along_axis(p0, lo & 127, axis=1)
-                s1 = jnp.take_along_axis(p1, lo & 127, axis=1)
-                sym = jnp.where(lo < 128, s0, s1)
-            else:
-                lo = jnp.clip(idx, 0, 127)
-                sym = jnp.take_along_axis(
-                    jnp.broadcast_to(perm_ref[0:1, :], (R, 128)), lo,
-                    axis=1)
-            ln = jnp.where(act, lv, 0)
-            # LE byte order: symbol u of the round at bits [8u, 8u+8)
-            acc = acc | (jnp.where(act, sym, 0).astype(_U32)
-                         << _U32(8 * u))
-            b0 = _safe_shl(b0, ln) | _safe_shr(b1, 32 - ln)
-            b1 = _safe_shl(b1, ln) | _safe_shr(b2, 32 - ln)
-            b2 = _safe_shl(b2, ln) | _safe_shr(b3, 32 - ln)
-            b3 = _safe_shl(b3, ln)
-            avail = avail - ln
+            acc = jnp.zeros((8, 128), _U32)
+            for u in range(SPR):
+                act = (SPR * j + u) < valid
+                vb = (c0 ^ bias).astype(jnp.int32)
+                lv = None
+                for ind in [(vb > lim).astype(jnp.int32) for lim in lims]:
+                    lv = ind if lv is None else lv + ind
+                lv = lv + lenbase
+                ov = jnp.zeros((8, 128), jnp.int32)
+                for L, offv in zip(range(1, len(offs) + 1), offs):
+                    ov = jnp.where(lv == L, offv, ov)
+                idx = (_shr_u(c0, 32 - lv)).astype(jnp.int32) + ov
+                if two_row_perm:
+                    lo = jnp.clip(idx, 0, 255)
+                    p0 = jnp.broadcast_to(perm_ref[0:1, :], (8, 128))
+                    p1 = jnp.broadcast_to(perm_ref[1:2, :], (8, 128))
+                    s0 = jnp.take_along_axis(p0, lo & 127, axis=1)
+                    s1 = jnp.take_along_axis(p1, lo & 127, axis=1)
+                    sym = jnp.where(lo < 128, s0, s1)
+                else:
+                    lo = jnp.clip(idx, 0, 127)
+                    sym = jnp.take_along_axis(
+                        jnp.broadcast_to(perm_ref[0:1, :], (8, 128)), lo,
+                        axis=1)
+                ln = jnp.where(act, lv, 0)
+                # LE byte order: symbol u at bits [8u, 8u+8) of the word
+                acc = acc | (jnp.where(act, sym, 0).astype(_U32)
+                             << _U32(8 * u))
+                c0 = _safe_shl(c0, ln) | _safe_shr(c1, 32 - ln)
+                c1 = _safe_shl(c1, ln) | _safe_shr(c2, 32 - ln)
+                c2 = _safe_shl(c2, ln) | _safe_shr(c3, 32 - ln)
+                c3 = _safe_shl(c3, ln)
+                av = av - ln
 
-        out_ref[pl.ds(pl.multiple_of(8 * j, 8), 8)] = acc.astype(jnp.int32)
-        return b0, b1, b2, b3, avail, d, base
+            # out row (j*stacks + s)*8 + r == j*groups + (8s + r): the
+            # same round-major layout unscramble_rounds expects
+            out_ref[pl.ds(pl.multiple_of(8 * (j * stacks + s), 8),
+                          8)] = acc.astype(jnp.int32)
+            nb0.append(c0)
+            nb1.append(c1)
+            nb2.append(c2)
+            nb3.append(c3)
+            navail.append(av)
+        return nb0, nb1, nb2, nb3, navail, nd, base
 
     # carry inits derived from loaded data, not jnp.zeros: a replicated-
     # constant init forces an invalid {0,0} -> {*,*} relayout on the
     # fori_loop carry (Mosaic cannot re-replicate divergent data)
-    zi = jnp.minimum(valid, 0)
-    z = zi.astype(_U32)
-    jax.lax.fori_loop(0, rounds, round_body, (z, z, z, z, zi, zi, zi))
+    zis = [jnp.minimum(v, 0) for v in valids]
+    zs = [z.astype(_U32) for z in zis]
+    jax.lax.fori_loop(0, rounds, round_body,
+                      (zs, list(zs), list(zs), list(zs),
+                       list(zis), list(zis), list(zis)))
 
 
 def plan_dense_decode(block_bits, n_bytes: int, block_bytes: int = 1024,
