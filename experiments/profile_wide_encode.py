@@ -107,20 +107,19 @@ def main():
     slope(mk_phase2, "phase2_relayout_sched_emit")
 
     def mk_sched():
-        l2t = l20.reshape(nt, wk.TILE_BYTES // 1024, 4, wk.ROUNDS) \
-            .transpose(0, 3, 1, 2).reshape(nt, wk.ROUNDS, wk.N_SUB)
+        l2e = wide_mod._l2p_device(l20, nt)
         nk = wide_mod._nk_device(valid, nt).reshape(nt, wk.N_SUB)
-        l2t, nk = jax.block_until_ready((l2t, nk))
+        l2e, nk = jax.block_until_ready((l2e, nk))
 
         @jax.jit
-        def f(k, a_l2t, a_nk):
+        def f(k, a_l2e, a_nk):
             def body(_, carry):
-                lt = a_l2t.at[0, 0, 0].set(carry)
-                pos, bases, cnts = wide_mod._schedule(lt, a_nk,
-                                                      jnp.int32(mcl))
+                lt = a_l2e.at[0, 0].set(carry)
+                bases, cnts = wide_mod._schedule_counts(lt, a_nk,
+                                                        jnp.int32(mcl))
                 return bases[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-        return f, (l2t, nk)
+        return f, (l2e, nk)
     slope(mk_sched, "schedule_scan")
 
     def mk_relayout():
@@ -136,26 +135,25 @@ def main():
 
     # emit with a device-resident precomputed streams_wm + schedule
     streams_wm = wk.relayout_pallas(streams0, max_words + 2)
-    l2t = l20.reshape(nt, wk.TILE_BYTES // 1024, 4, wk.ROUNDS) \
-        .transpose(0, 3, 1, 2).reshape(nt, wk.ROUNDS, wk.N_SUB)
-    nk = wide_mod._nk_device(valid, nt).reshape(nt, wk.N_SUB)
-    pos, bases, cnts = jax.block_until_ready(
-        jax.jit(lambda a, b: wide_mod._schedule(a, b, jnp.int32(mcl)))(
-            l2t, nk))
-    streams_wm = jax.block_until_ready(streams_wm)
-    posf = pos.reshape(nt * wk.ROUNDS * 8, 128)
+    l2e = wide_mod._l2p_device(l20, nt)
+    nk8 = wide_mod._nk_device(valid, nt)
+    bases, cnts = jax.block_until_ready(jax.jit(
+        lambda a, b: wide_mod._schedule_counts(a, b, jnp.int32(mcl)))(
+            l2e, nk8.reshape(nt, wk.N_SUB)))
+    streams_wm, l2e, nk8 = jax.block_until_ready((streams_wm, l2e, nk8))
     basesf, cntsf = bases.reshape(-1), cnts.reshape(-1)
+    mcl_a = jnp.asarray([mcl], jnp.int32)
 
     def mk_emit():
         @jax.jit
-        def f(k, s, p, b, c):
+        def f(k, s, le, nk_a, b, c):
             def body(_, carry):
                 ss = s.at[0, 0].set(carry)
-                p0, p1 = wk.emit_planes_pallas(ss, p, b, c,
+                p0, p1 = wk.emit_planes_pallas(ss, le, nk_a, mcl_a, b, c,
                                                max_words=max_words)
                 return p0[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-        return f, (streams_wm, posf, basesf, cntsf)
+        return f, (streams_wm, l2e, nk8, basesf, cntsf)
     slope(mk_emit, "emit_planes")
 
     def mk_full():

@@ -26,14 +26,22 @@ import os as _os
 # Persistent XLA/Mosaic compilation cache: the Pallas kernels take minutes
 # to compile on TPU (one-time); cached executables load in <1s.  The env
 # var alone is ignored by current jax — set the config explicitly.
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "huffman_tpu_jax"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# TPU-class backends ONLY: cached XLA:CPU AOT executables carry the
+# COMPILE machine's feature set (the remote compile helper's), and
+# loading them on a different host SIGILLs/segfaults — observed round 5
+# as a flaky crash in the last CPU test of a long suite run.
+_CACHE_OK = _os.environ.get("JAX_PLATFORMS", "").lower() != "cpu"
+if _CACHE_OK:
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      "huffman_tpu_jax"))
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                           "1")
 
 import jax as _jax
 
-for _opt, _val in (
+for _opt, _val in () if not _CACHE_OK else (
         ("jax_compilation_cache_dir",
          _os.environ["JAX_COMPILATION_CACHE_DIR"]),
         ("jax_persistent_cache_min_compile_time_secs", 1.0),

@@ -424,23 +424,27 @@ def _rows_compact(v0, v1, mask, rank):
     big = jnp.int32(1 << 20)
     rmin = jnp.min(jnp.where(mask, rank, big), axis=1, keepdims=True)
     disp = jnp.where(mask, lane - (rank - rmin), 0)
-    a0 = jnp.where(mask, v0, _U32(0))
-    a1 = jnp.where(mask, v1, _U32(0))
+    # Round 5: route ONE packed track t = disp<<8 | src_lane through the
+    # butterfly instead of three (v0, v1, disp) value tracks, then apply
+    # the landed permutation with one clipped lane gather per plane —
+    # each stage drops from 3 masked gathers to 1 (dead slots carry the
+    # sentinel `big`, whose disp bits are 0, so it never moves and marks
+    # emptiness for the final mask).
+    t = jnp.where(mask, (disp << 8) | lane, big)
     for k in range(7):
         bit = 1 << k
+        bith = bit << 8
         idx = jnp.clip(lane + bit, 0, 127)
         live = lane < 128 - bit
-        move = (disp & bit) != 0
-        in_0 = jnp.where(live, jnp.take_along_axis(
-            jnp.where(move, a0, _U32(0)), idx, axis=1), _U32(0))
-        in_1 = jnp.where(live, jnp.take_along_axis(
-            jnp.where(move, a1, _U32(0)), idx, axis=1), _U32(0))
-        in_d = jnp.where(live, jnp.take_along_axis(
-            jnp.where(move, disp, 0), idx, axis=1), 0)
-        arrived = (in_d & bit) != 0
-        a0 = in_0 | jnp.where(move, _U32(0), a0)
-        a1 = in_1 | jnp.where(move, _U32(0), a1)
-        disp = jnp.where(arrived, in_d - bit, jnp.where(move, 0, disp))
+        move = (t & bith) != 0
+        in_t = jnp.where(live, jnp.take_along_axis(
+            jnp.where(move, t, big), idx, axis=1), big)
+        arrived = (in_t & bith) != 0
+        t = jnp.where(arrived, in_t - bith, jnp.where(move, big, t))
+    ok = t < big
+    src = t & 127
+    a0 = jnp.where(ok, jnp.take_along_axis(v0, src, axis=1), _U32(0))
+    a1 = jnp.where(ok, jnp.take_along_axis(v1, src, axis=1), _U32(0))
     return a0, a1, rmin
 
 
@@ -511,14 +515,19 @@ def _row_compact_place2(v0, v1, mask, rank, f):
                    end)
 
 
-def _emit_kernel(streams_ref, pos_ref, bases_hbm, cnts_hbm, out0_ref,
+def _emit_kernel(mcl_ref, streams_ref, l2p_ref, nk_ref, tri_ref,
+                 bases_hbm, cnts_hbm, out0_ref,
                  out1_ref, bwin, cwin, bsem, csem, *, max_words: int,
                  td: int, wcols: int, _ablate: str = ""):
     """td tiles per grid step: select each pulling lane's word pair,
-    compact to plane positions.  The schedule (pos, bases, per-round
-    counts) is precomputed (wide._schedule_arrays).  max_words statically
-    bounds the per-lane stream cursor (8*mcl words for a 256-byte
-    substream), which bounds the word-pair select scan.
+    compact to plane positions.  Round 5: the pull mask and MXU rank are
+    computed IN-KERNEL from the byte-packed l2p round lengths (the old
+    precomputed i32 `pos` array cost a 64 MiB scan stack, transpose, and
+    XLA->pallas boundary copy per 64 MiB of input); only the scalar
+    per-round (base, cnt) pair still comes from the slim XLA scan
+    (wide._schedule_counts).  max_words statically bounds the per-lane
+    stream cursor (8*mcl words for a 256-byte substream), which bounds
+    the word-pair select scan.
 
     td > 1 interleaves INDEPENDENT tiles' round chains through one
     fori_loop body — the same latency fix as the decode kernel's tile
@@ -531,6 +540,7 @@ def _emit_kernel(streams_ref, pos_ref, bases_hbm, cnts_hbm, out0_ref,
     size exceeded SMEM at the 1 GiB spec size)."""
     i = pl.program_id(0)
     RB = 8                    # schedule rounds routed per loop iteration
+    mcl = mcl_ref[0]
     bw0 = pl.multiple_of((td * i * ROUNDS // 1024) * 1024, 1024)
     bc = pltpu.make_async_copy(bases_hbm.at[pl.ds(bw0, 2048)], bwin, bsem)
     cc = pltpu.make_async_copy(cnts_hbm.at[pl.ds(bw0, 2048)], cwin, csem)
@@ -545,26 +555,55 @@ def _emit_kernel(streams_ref, pos_ref, bases_hbm, cnts_hbm, out0_ref,
     def cnts_ref(idx):
         return cwin[idx - bw0]
 
+    # static unpack helpers: lens[r, l] = byte (l & 3) of packed lane
+    # 32r + (l >> 2) (rows 0-3 in packed row 0, 4-7 in row 1)
+    rr8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    ll8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    _lidx = (32 * rr8 + (ll8 >> 2)) & 127
+    _lsh = 8 * (ll8 & 3)
+
     def batch_body(jb, carry):
         states = [list(s) for s in carry]
         sels, pulls, ranks = [], [], []
         cnts = [[] for _ in range(td)]
+        nk_ts, lp16s, S3s = [], [], []
         for t2 in range(td):
-            wcur = states[t2][0]
-            S3 = streams_ref[
+            nk_ts.append(nk_ref[pl.ds(pl.multiple_of(8 * t2, 8), 8)])
+            lp16s.append(l2p_ref[
+                pl.ds(pl.multiple_of((t2 * ROUNDS + RB * jb) * 2, 16),
+                      2 * RB)])
+            S3s.append(streams_ref[
                 pl.ds(t2 * 8 * wcols, 8 * wcols), :].reshape(8, wcols,
-                                                             128)
-            for r in range(RB):
-                j = RB * jb + r
-                posj = pos_ref[
-                    pl.ds(pl.multiple_of(t2 * ROUNDS * 8 + 8 * j, 8), 8),
-                    :]
-                pull = posj >= 0
-                tb = (i * td + t2) * ROUNDS + j
-                cnts[t2].append(cnts_ref(tb))
-                ranks.append(jnp.where(pull, posj - bases_ref(tb), 0))
-                pulls.append(pull)
+                                                             128))
+        # round-major: the td tiles' pull masks batch into ONE rank
+        # matmul per round, and their dependent chains interleave
+        for r in range(RB):
+            j = RB * jb + r
+            pulls_r = []
+            for t2 in range(td):
+                avail = states[t2][5]
+                lp = lp16s[t2][2 * r: 2 * r + 2]
+                op8 = jnp.concatenate(
+                    [jnp.broadcast_to(lp[0:1], (4, 128)),
+                     jnp.broadcast_to(lp[1:2], (4, 128))])
+                lens = (jnp.take_along_axis(op8, _lidx, axis=1)
+                        >> _lsh) & 0xFF
+                rem = nk_ts[t2] - SPR * j
+                pull = ((avail < THRESH) & (avail < mcl * rem)
+                        & (rem > 0))
+                states[t2][5] = (avail + jnp.where(pull, 64, 0) - lens)
+                pulls_r.append(pull)
+                cnts[t2].append(cnts_ref((i * td + t2) * ROUNDS + j))
+            pull_cat = (jnp.concatenate(pulls_r) if td > 1
+                        else pulls_r[0])
+            rank_cat, _r0 = _rank_mxu(pull_cat, tri_ref)
+            ranks.append(jnp.where(pull_cat, rank_cat, 0))
+            pulls.append(pull_cat)
 
+            for t2 in range(td):
+                wcur = states[t2][0]
+                pull = pulls_r[t2]
+                S3 = S3s[t2]
                 # word-pair select: lane (s,l)'s words wcur, wcur+1 live
                 # at streams[s, 128*w + l].  wcur is ALWAYS EVEN (starts
                 # at 0, advances by 2 per pull), so candidates are word
@@ -575,7 +614,7 @@ def _emit_kernel(streams_ref, pos_ref, bases_hbm, cnts_hbm, out0_ref,
                 # (experiments/probe_emit.py).
                 if "sel" in _ablate:          # probe-only: fixed pair
                     sels.append((S3[:, 0, :], S3[:, 1, :]))
-                    wcur = wcur + 2 * pull.astype(jnp.int32)
+                    states[t2][0] = wcur + 2 * pull.astype(jnp.int32)
                     continue
                 q = wcur >> 1
                 c0 = [S3[:, 2 * p, :]
@@ -593,8 +632,7 @@ def _emit_kernel(streams_ref, pos_ref, bases_hbm, cnts_hbm, out0_ref,
                           for p in range((len(c1) + 1) // 2)]
                     level += 1
                 sels.append((c0[0], c1[0]))
-                wcur = wcur + 2 * pull.astype(jnp.int32)
-            states[t2][0] = wcur
+                states[t2][0] = wcur + 2 * pull.astype(jnp.int32)
 
         # ONE batched (td*RB*8, 128) compaction for the whole batch:
         # rows are independent, each 8-row group keeps its own rank space
@@ -611,8 +649,8 @@ def _emit_kernel(streams_ref, pos_ref, bases_hbm, cnts_hbm, out0_ref,
         z8 = jnp.zeros((8, 128), _U32)
         for r in range(RB):            # round-major: interleave tiles
             for t2 in range(td):
-                _wcur, pend0, pend1, f, row_base = states[t2]
-                b = 8 * (t2 * RB + r)
+                _wcur, pend0, pend1, f, row_base, _av = states[t2]
+                b = 8 * (r * td + t2)
                 if "place" in _ablate:    # probe-only: raw OR, no route
                     pend0 = pend0 | jnp.concatenate([a0[b: b + 8], z8])
                     pend1 = pend1 | jnp.concatenate([a1[b: b + 8], z8])
@@ -644,13 +682,13 @@ def _emit_kernel(streams_ref, pos_ref, bases_hbm, cnts_hbm, out0_ref,
 
     z = jnp.zeros((8, 128), jnp.int32)
     z16 = jnp.zeros((16, 128), _U32)
-    init = tuple((z, z16, z16, 0, 0) for _ in range(td))
+    init = tuple((z, z16, z16, 0, 0, z) for _ in range(td))
     final = jax.lax.fori_loop(0, ROUNDS // RB, batch_body, init)
 
     # final partial flush; f == 0 implies row_base may already equal
     # PLANE_ROWS (exactly-full tile) and there is nothing to write
     for t2 in range(td):
-        _wcur, pend0, pend1, f, row_base = final[t2]
+        _wcur, pend0, pend1, f, row_base, _av = final[t2]
 
         @pl.when(f > 0)
         def _(pend0=pend0, pend1=pend1, row_base=row_base, t2=t2):
@@ -661,22 +699,25 @@ def _emit_kernel(streams_ref, pos_ref, bases_hbm, cnts_hbm, out0_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "max_words",
                                              "_ablate"))
-def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
+def emit_planes_pallas(streams_wm: jax.Array, l2p: jax.Array,
+                       nk8: jax.Array, mcl: jax.Array,
                        bases: jax.Array, cnts: jax.Array,
                        interpret: bool = False,
                        max_words: int = SUB_WORDS * MAXLEN // 16 + 1,
                        _ablate: str = ""):
-    """Materialize payload planes from substream streams + schedule.
+    """Materialize payload planes from substream streams + round lens.
 
     streams_wm: (NT*8*WCOLS, 128) u32 word rows (relayout_pallas): word
       w of substream 128s + l of tile t at row wcols*(8t + s) + w, lane
       l.  WCOLS = max_words + 2: the select scan never reads past word
       max_words+1, so the relayout drops the dead slot tail (or pads the
       2 dead select columns for exact-fit slots).
-    pos: (NT*ROUNDS*8, 128) i32 — plane position of each substream's pull
-      in round j (rows 8j..8j+8 of tile t's 512-row block), -1 = no pull.
+    l2p: (NT*ROUNDS*2, 128) i32 byte-packed per-round substream bit
+      counts (wide._l2p_device) — pull masks and ranks are in-kernel.
+    nk8: (NT*8, 128) i32 valid bytes per substream (wide._nk_device).
+    mcl: (1,) i32 exact max code length (enters the pull rule).
     bases/cnts: (NT*ROUNDS,) i32 — per-round pull-index base and count
-      (scalar prefetch).
+      (wide._schedule_counts; the kernel's flush cursor needs scalars).
     max_words: static bound on used substream words (8 * max code length
       for 256-byte substreams; default = the format-wide MAXLEN bound) —
       a narrow codebook cuts the kernel's dominant select scan by ~1/3.
@@ -687,27 +728,34 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
     Returns (P0, P1), each (NT*PLANE_ROWS, 128) u32 (live words per tile
     = per-tile total pulls; rows beyond are unspecified).
     """
-    nt = pos.shape[0] // (ROUNDS * 8)
+    nt = l2p.shape[0] // (ROUNDS * 2)
     wcols = streams_wm.shape[0] // (nt * 8)
-    td = 4 if nt % 4 == 0 else 1   # tiles per grid step.  Re-swept in
-    # round 4 after the searchsorted placement rewrite made the
-    # per-round chain shorter (wide encode GB/s at 64 MiB):
-    # td=2: 11.1, td=4: 13.2, td=8: 11.4 (VMEM pressure); RB=16: 11.6
+    import os
+    td_pref = int(os.environ.get("HUFF_WIDE_TD", "4"))
+    td = next((t for t in (td_pref, 4, 2, 1) if nt % t == 0), 1)
+    # tiles per grid step.  Round-4 sweep (GB/s at 64 MiB): td=2: 11.1,
+    # 4: 13.2, 8: 11.4 (VMEM pressure); RB=16: 11.6.  Re-swept round 5
+    # after the in-kernel schedule + batched rank (HUFF_WIDE_TD knob).
+    tri = jnp.triu(jnp.ones((128, 128), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(nt // td,),
         in_specs=[
-            pl.BlockSpec((td * 8 * wcols, 128), lambda i: (i, 0),
+            pl.BlockSpec((td * 8 * wcols, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((td * ROUNDS * 8, 128), lambda i: (i, 0),
+            pl.BlockSpec((td * ROUNDS * 2, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((td * 8, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((td * PLANE_ROWS, 128), lambda i: (i, 0),
+            pl.BlockSpec((td * PLANE_ROWS, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((td * PLANE_ROWS, 128), lambda i: (i, 0),
+            pl.BlockSpec((td * PLANE_ROWS, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -734,5 +782,7 @@ def emit_planes_pallas(streams_wm: jax.Array, pos: jax.Array,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(streams_wm, pos, jnp.pad(bases.astype(jnp.int32), (0, 2048)),
+    )(mcl.astype(jnp.int32).reshape(1), streams_wm,
+      l2p.astype(jnp.int32), nk8.astype(jnp.int32), tri,
+      jnp.pad(bases.astype(jnp.int32), (0, 2048)),
       jnp.pad(cnts.astype(jnp.int32), (0, 2048)))

@@ -82,44 +82,70 @@ def _nk_device(valid_blocks, nt):
     return nk.reshape(nt * 8, 128)
 
 
-def _schedule(l2: jax.Array, nk: jax.Array, mcl: int):
-    """Simulate the reader's pull schedule (spec: golden encode_tile).
+def _schedule_counts(l2p: jax.Array, nk: jax.Array, mcl: int):
+    """Per-round pull COUNTS of the reader schedule (bases = their
+    exclusive cumsum).  Round 5: the full per-substream `pos` array (a
+    64 MiB-per-64 MiB i32 intermediate whose scan-stack transpose and
+    XLA->pallas boundary copy dominated phase 2) is gone — the emit
+    kernel recomputes pull masks and MXU ranks in-kernel from the int8
+    l2e operand; only the SCALAR per-round (base, cnt) pair still comes
+    from this slim scan (the kernel's flush cursor must stay a scalar,
+    and a vector->scalar read in-kernel costs ~100x a vector op).
 
-    l2: (NT, ROUNDS, N_SUB) i32 bits consumed by each substream in each
-      round (sum of its 4 codeword lengths; 0 past end-of-substream).
+    l2p: (NT*ROUNDS*2, 128) i32 packed round lengths (_l2p_device).
     nk: (NT, N_SUB) i32 valid bytes per substream.
-    Returns (pos, bases, cnts): pos (NT, ROUNDS, N_SUB) i32 plane position
-    of each pull (-1 = no pull); bases/cnts (NT, ROUNDS) i32.
+    Returns (bases, cnts): (NT, ROUNDS) i32.
     """
-    nt = l2.shape[0]
-    # rank via the MXU (the decode kernel's trick, _rank_mxu): a 1024-lane
-    # XLA cumsum lowers to 10 log-shift passes per scan step; one batched
-    # (128,128) upper-triangular matmul + an 8-row cumsum replaces them.
-    # f32 is exact: in-row counts <= 128, offsets <= 1024 (< 2^24).
+    nt = nk.shape[0]
     tri = jnp.triu(jnp.ones((128, 128), jnp.float32))
+    UR = 4                    # rounds unrolled per scan step: the avail
+    #                           recursion is inherently sequential, but
+    #                           unrolling amortizes XLA's per-step cost
+    xs = (l2p.reshape(nt, ROUNDS // UR, UR, 256)
+          .transpose(1, 2, 0, 3))
 
-    def step(carry, lens_j):
-        avail, base, j = carry
-        rem = nk - SPR * j
-        pull = (avail < THRESH) & (avail < mcl * rem) & (rem > 0)
-        m = pull.reshape(nt, 8, 128).astype(jnp.float32)
-        incl = jax.lax.dot_general(m, tri, (((2,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        rt = incl[:, :, -1]
-        offs = jnp.cumsum(rt, axis=1) - rt
-        ip = (incl + offs[:, :, None]).reshape(nt, N_SUB).astype(jnp.int32)
-        rank = ip - pull
-        cnt = ip[:, -1]
-        pos = jnp.where(pull, base[:, None] + rank, -1)
-        avail = avail + jnp.where(pull, 64, 0) - lens_j
-        return (avail, base + cnt, j + 1), (pos, base, cnt)
+    def step(carry, lp_block):
+        avail, j = carry
+        outs = []
+        for u in range(UR):
+            # per-round unpack (packed [t, b] byte s -> lens [t, 4b+s]);
+            # unpacking outside the scan would materialize the 4x array
+            lens_j = jnp.stack(
+                [(lp_block[u] >> (8 * s)) & 0xFF for s in range(4)],
+                axis=2).reshape(nt, N_SUB)
+            rem = nk - SPR * (j + u)
+            pull = (avail < THRESH) & (avail < mcl * rem) & (rem > 0)
+            m = pull.reshape(nt, 8, 128).astype(jnp.float32)
+            incl = jax.lax.dot_general(m, tri, (((2,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            outs.append(
+                jnp.sum(incl[:, :, -1], axis=1).astype(jnp.int32))
+            avail = avail + jnp.where(pull, 64, 0) - lens_j
+        return (avail, j + UR), jnp.stack(outs)
 
-    init = (jnp.zeros((nt, N_SUB), jnp.int32), jnp.zeros(nt, jnp.int32),
-            jnp.int32(0))
-    _, (pos, bases, cnts) = jax.lax.scan(
-        init=init, xs=l2.transpose(1, 0, 2), f=step)
-    return (pos.transpose(1, 0, 2), bases.transpose(1, 0),
-            cnts.transpose(1, 0))
+    init = (jnp.zeros((nt, N_SUB), jnp.int32), jnp.int32(0))
+    _, cnts = jax.lax.scan(init=init, xs=xs, f=step)
+    cnts = cnts.reshape(ROUNDS, nt).transpose(1, 0)
+    bases = jnp.cumsum(cnts, axis=1) - cnts
+    return bases, cnts
+
+
+def _l2p_device(l2: jax.Array, nt: int) -> jax.Array:
+    """(NB, 256) i32 item lens -> (NT*ROUNDS*2, 128) i32 PACKED tile-
+    major round lengths: row (t*ROUNDS + j)*2 + (b>>7), lane b&127 packs
+    block b's four substream byte-counts for round j as 4x8 bits
+    (byte s = l2 item 64s + j; lens <= 48 fit a byte).
+
+    Packing BEFORE the transpose keeps the relayout a plain i32
+    transpose of l2's quarter size — the int8-element transpose XLA
+    lowers catastrophically (~6 ms/64 MiB, measured round 5), and the
+    unpacking is ~5 static vector ops per round inside the emit kernel.
+    """
+    l2p = (l2[:, 0:ROUNDS] | (l2[:, ROUNDS:2 * ROUNDS] << 8)
+           | (l2[:, 2 * ROUNDS:3 * ROUNDS] << 16)
+           | (l2[:, 3 * ROUNDS:] << 24))
+    x = l2p.reshape(nt, TILE_BYTES // 1024, ROUNDS).transpose(0, 2, 1)
+    return x.reshape(nt * ROUNDS * 2, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "table_rows",
@@ -240,15 +266,11 @@ def _emit_device(streams, l2, valid, mcl, interpret: bool = False,
     streams_wm = wk.relayout_pallas(streams, max_words + 2,
                                     interpret=interpret)
 
-    # l2 item i of block covers bytes [4i, 4i+4): substream i>>6 of the
-    # block, round i&63 -> (NT, ROUNDS, N_SUB) with substream = 4b + s
-    l2t = l2.reshape(nt, TILE_BYTES // 1024, 4, ROUNDS) \
-        .transpose(0, 3, 1, 2).reshape(nt, ROUNDS, N_SUB)
-    nk = _nk_device(valid, nt).reshape(nt, N_SUB)
-
-    pos, bases, cnts = _schedule(l2t, nk, mcl)
+    l2p = _l2p_device(l2, nt)
+    nk8 = _nk_device(valid, nt)                  # (NT*8, 128)
+    bases, cnts = _schedule_counts(l2p, nk8.reshape(nt, N_SUB), mcl)
     p0, p1 = wk.emit_planes_pallas(
-        streams_wm, pos.reshape(nt * ROUNDS * 8, 128),
+        streams_wm, l2p, nk8, jnp.asarray(mcl).reshape(1),
         bases.reshape(-1), cnts.reshape(-1), interpret=interpret,
         max_words=max_words)
     return p0, p1, bases, cnts
