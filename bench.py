@@ -287,10 +287,17 @@ def main() -> None:
         # devices — see module docstring); capped at 64 MiB of input
         progress("e2e encode")
         t0 = time.perf_counter()
-        api.encode(data_ex, cfg, codebook=cb)
+        enc_ex = api.encode(data_ex, cfg, codebook=cb)
         extra["encode_e2e_gbps"] = round(
             data_ex.size / (time.perf_counter() - t0) / 1e9, 3)
         extra["e2e_mib"] = ex_mb
+        # strengthen the bit-exact gate to the FULL ex_mb stream (the
+        # 4 MiB-only gate missed a ~1-word-per-100-MiB quad16 bug in
+        # round 5); the stream is already on host from the e2e run
+        gex_bytes, gex_bits = golden.encode(data_ex, cb)
+        extra["bit_exact_64m"] = bool(
+            enc_ex.total_bits == gex_bits
+            and bytes(enc_ex.stream_bytes) == bytes(gex_bytes))
 
     if "hist" not in skip and not over_budget("hist"):
         from huffman_tpu.ops import histogram as hist_ops
@@ -592,7 +599,7 @@ def main() -> None:
     except Exception:
         pass
     print(json.dumps(record))
-    if not exact:
+    if not exact or extra.get("bit_exact_64m") is False:
         print("WARNING: pipeline output not bit-exact vs golden oracle",
               file=sys.stderr)
         sys.exit(1)

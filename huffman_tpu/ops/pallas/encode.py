@@ -295,8 +295,11 @@ def _merge_quad16(vals, alenc, it):
     o3 = o2 + m[2]
     total = o3 + m[3]
     w0 = v[0] | srl(v[1], o1) | srl(v[2], o2) | srl(v[3], o3)
-    # o1 <= 32 for an unflagged 4B item: word 1 sees only its spill
-    w1 = sll(v[1], 32 - o1)
+    # every source needs the o == 32 guard: sll(x, 0) lowers as
+    # x << -1 << 1 (garbage), and o1 CAN be exactly 32 (an aligned quad
+    # opening with four 8-bit codes) — found round 5 as a ~1-word-per-
+    # 100 MiB silent corruption the 4 MiB bench gate missed
+    w1 = jnp.where(o1 < 32, sll(v[1], 32 - o1), srl(v[1], o1 - 32))
     w1 = w1 | jnp.where(o2 < 32, sll(v[2], 32 - o2), srl(v[2], o2 - 32))
     w1 = w1 | jnp.where(o3 < 32, sll(v[3], 32 - o3), srl(v[3], o3 - 32))
     out = jnp.where(j == 0, w0, w1)

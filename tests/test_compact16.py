@@ -162,3 +162,34 @@ def test_api_compact16_patch(mosaic_on_cpu):
     enc = api.encode(data, CodecConfig(), codebook=cb)
     assert mosaic_on_cpu["encode"] == [128, 128]   # spec + patch re-encode
     _check_vs_golden(data, enc)
+
+
+def test_quad16_exact_32bit_first_item():
+    """Regression (round 5): a quad whose FIRST 4-byte item is exactly
+    32 bits (four 8-bit codes) dropped v1's word-1 contribution — sll by
+    32-o1 = 0 lowered as x << -1 << 1.  Rare enough (~1 word/100 MiB at
+    H~2.2) to slip past every random fixture and the bench's 4 MiB gate.
+    """
+    lens = np.zeros(256, np.int32)
+    lens[:8] = [8, 1, 2, 3, 5, 6, 7, 8]        # Kraft-valid, has len-8
+    cb = Codebook.from_lengths(lens)
+    data = np.ones(2048, np.uint8)             # 1-bit symbol everywhere
+    # one aligned quad per block opening with four 8-bit codes, plus a
+    # few other alignments and lengths for good measure
+    data[16:20] = 0
+    data[1024 + 48:1024 + 52] = 0
+    data[1024 + 52] = 4                        # 5-bit follow-up
+    blocks = data.reshape(2, 1024)
+    valid = np.full(2, 1024, np.int32)
+    streams, bits = encode_blocks_pallas(
+        jnp.asarray(blocks), jnp.asarray(cb.codes), jnp.asarray(cb.lengths),
+        jnp.asarray(valid), 128, max_code_len=8, halve_to_chunks=2,
+        compact16=True, interpret=True)
+    bits_host = np.asarray(bits)
+    assert not (bits_host >> 30).any(), "fixture must not be flagged"
+    for b in range(2):
+        ref_bytes, ref_bits = golden.encode(blocks[b], cb)
+        nb = (int(bits_host[b] & BITS_MASK) + 31) // 32
+        assert int(bits_host[b] & BITS_MASK) == ref_bits
+        np.testing.assert_array_equal(
+            np.asarray(streams)[b, :nb], packed_bytes_to_words(ref_bytes))
