@@ -440,7 +440,8 @@ def main() -> None:
                 decode_dense_pallas, plan_dense_decode)
             enc_d = api.encode(data_ex, cfg, codebook=cb)
             meta, val_t, srow, _nbp, rn = plan_dense_decode(
-                enc_d.block_bits, enc_d.n_bytes, cfg.block_bytes)
+                enc_d.block_bits, enc_d.n_bytes, cfg.block_bytes,
+                groups=32)
             sw = np.asarray(enc_d.stream_words, np.uint32)
             rws = np.concatenate(
                 [sw, np.zeros(rn * 128 - sw.size, np.uint32)]
@@ -460,7 +461,7 @@ def main() -> None:
                         o = decode_dense_pallas(
                             rr, *dd_args, mcl=mcl_d,
                             two_row_perm=permd.size > 128,
-                            rounds=cfg.block_bytes // 4)
+                            rounds=cfg.block_bytes // 4, groups=32)
                         return (o[0, 0] ^ o[0, 1]).astype(jnp.uint32)
                     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
                 return fn, (dd_rows,)
