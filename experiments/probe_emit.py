@@ -99,8 +99,36 @@ def main():
         return swm, lt, nk
     streams_wm, l2t, nk = jax.block_until_ready(
         mk_inputs(streams, l2, valid))
+    def _old_schedule(l2t_, nk_, mcl_):
+        # pre-r5 pos-producing scan (kept here: this probe's hand-rolled
+        # kernel predates the in-kernel schedule)
+        nt_ = l2t_.shape[0]
+        tri = jnp.triu(jnp.ones((128, 128), jnp.float32))
+
+        def step(carry, lens_j):
+            avail, base, j = carry
+            rem = nk_ - wk.SPR * j
+            pull = ((avail < 48) & (avail < mcl_ * rem) & (rem > 0))
+            m = pull.reshape(nt_, 8, 128).astype(jnp.float32)
+            incl = jax.lax.dot_general(m, tri, (((2,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            rt = incl[:, :, -1]
+            offs = jnp.cumsum(rt, axis=1) - rt
+            ip = (incl + offs[:, :, None]).reshape(
+                nt_, wk.N_SUB).astype(jnp.int32)
+            pos_ = jnp.where(pull, base[:, None] + (ip - pull), -1)
+            avail = avail + jnp.where(pull, 64, 0) - lens_j
+            return (avail, base + ip[:, -1], j + 1), (pos_, base, ip[:, -1])
+
+        init = (jnp.zeros((nt_, wk.N_SUB), jnp.int32),
+                jnp.zeros(nt_, jnp.int32), jnp.int32(0))
+        _, (pos_, b_, c_) = jax.lax.scan(init=init,
+                                         xs=l2t_.transpose(1, 0, 2), f=step)
+        return (pos_.transpose(1, 0, 2), b_.transpose(1, 0),
+                c_.transpose(1, 0))
+
     pos, bases2, cnts2 = jax.block_until_ready(
-        jax.jit(lambda a, b: wide_mod._schedule(a, b, jnp.int32(mcl)))(
+        jax.jit(lambda a, b: _old_schedule(a, b, jnp.int32(mcl)))(
             l2t, nk))
     posf = pos.reshape(nt * wk.ROUNDS * 8, 128)
     basesf, cntsf = bases2.reshape(-1), cnts2.reshape(-1)

@@ -52,29 +52,28 @@ def main():
         spec_chunks=spec)
     streams, l2 = res[0], res[1]
     swm = jax.block_until_ready(wk.relayout_pallas(streams, max_words + 2))
-    l2t = l2.reshape(nt, wk.TILE_BYTES // 1024, 4, wk.ROUNDS) \
-        .transpose(0, 3, 1, 2).reshape(nt, wk.ROUNDS, wk.N_SUB)
-    nk = wide_mod._nk_device(valid, nt).reshape(nt, wk.N_SUB)
-    pos, bases, cnts = jax.jit(wide_mod._schedule, static_argnums=2)(
-        l2t, nk, mcl)
-    posf = jax.block_until_ready(pos.reshape(nt * wk.ROUNDS * 8, 128))
+    l2p = jax.block_until_ready(wide_mod._l2p_device(l2, nt))
+    nk8 = wide_mod._nk_device(valid, nt)
+    bases, cnts = jax.jit(wide_mod._schedule_counts, static_argnums=2)(
+        l2p, nk8.reshape(nt, wk.N_SUB), mcl)
     basesf = bases.reshape(-1)
     cntsf = cnts.reshape(-1)
+    mcl_a = jnp.asarray([mcl], jnp.int32)
 
     def slope(ablate, label, reps=32):
         @jax.jit
-        def chained(k, a_swm, a_pos):
+        def chained(k, a_swm, a_l2p):
             def body(_, carry):
-                p = a_pos.at[0, 0].set(carry)
+                p = a_l2p.at[0, 0].set(carry)
                 p0, _p1 = wk.emit_planes_pallas(
-                    a_swm, p, basesf, cntsf, max_words=max_words,
-                    _ablate=ablate)
+                    a_swm, p, nk8, mcl_a, basesf, cntsf,
+                    max_words=max_words, _ablate=ablate)
                 return p0[0, 0].astype(jnp.int32)
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
         def r(k):
             t0 = time.perf_counter()
-            out = chained(jnp.int32(k), swm, posf)
+            out = chained(jnp.int32(k), swm, l2p)
             _ = np.asarray(out)
             return time.perf_counter() - t0
         r(1); r(1 + reps)

@@ -181,16 +181,15 @@ def pos_handoff():
 
     def phase2(s, l2, dv, launder):
         streams_wm = wk.relayout_pallas(s, max_words + 2)
-        l2t = l2.reshape(nt, wk.TILE_BYTES // 1024, 4, wk.ROUNDS) \
-            .transpose(0, 3, 1, 2).reshape(nt, wk.ROUNDS, wk.N_SUB)
-        nk = wide_mod._nk_device(dv, nt).reshape(nt, wk.N_SUB)
-        pos, bases, cnts = wide_mod._schedule(l2t, nk, jnp.int32(mcl))
-        posf = pos.reshape(nt * wk.ROUNDS * 8, 128)
+        l2p = wide_mod._l2p_device(l2, nt)
+        nk8 = wide_mod._nk_device(dv, nt)
+        bases, cnts = wide_mod._schedule_counts(
+            l2p, nk8.reshape(nt, wk.N_SUB), jnp.int32(mcl))
         if launder:
-            posf = rows_id(posf)
+            l2p = rows_id(l2p)
         return wk.emit_planes_pallas(
-            streams_wm, posf, bases.reshape(-1), cnts.reshape(-1),
-            max_words=max_words)
+            streams_wm, l2p, nk8, jnp.asarray([mcl], jnp.int32),
+            bases.reshape(-1), cnts.reshape(-1), max_words=max_words)
 
     def slope(launder, label, reps=4):
         @jax.jit

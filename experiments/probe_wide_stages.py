@@ -62,14 +62,14 @@ def main():
             swm = wk.relayout_pallas(streams, max_words + 2)
             if depth == 1:
                 return swm[0, 0] ^ l2[0, 0].astype(jnp.uint32)
-            l2t = l2.reshape(nt, wk.TILE_BYTES // 1024, 4, wk.ROUNDS) \
-                .transpose(0, 3, 1, 2).reshape(nt, wk.ROUNDS, wk.N_SUB)
-            nk = wide_mod._nk_device(a_dv, nt).reshape(nt, wk.N_SUB)
-            pos, bases, cnts = wide_mod._schedule(l2t, nk, mcl)
+            l2p = wide_mod._l2p_device(l2, nt)
+            nk8 = wide_mod._nk_device(a_dv, nt)
+            bases, cnts = wide_mod._schedule_counts(
+                l2p, nk8.reshape(nt, wk.N_SUB), mcl)
             if depth == 2:
-                return swm[0, 0] ^ pos[0, 0, 0].astype(jnp.uint32)
+                return swm[0, 0] ^ bases[0, 0].astype(jnp.uint32)
             p0, p1 = wk.emit_planes_pallas(
-                swm, pos.reshape(nt * wk.ROUNDS * 8, 128),
+                swm, l2p, nk8, jnp.asarray(mcl).reshape(1),
                 bases.reshape(-1), cnts.reshape(-1), max_words=max_words)
             return p0[0, 0] ^ bases[0, 0].astype(jnp.uint32)
         return f

@@ -29,8 +29,13 @@ import os as _os
 # TPU-class backends ONLY: cached XLA:CPU AOT executables carry the
 # COMPILE machine's feature set (the remote compile helper's), and
 # loading them on a different host SIGILLs/segfaults — observed round 5
-# as a flaky crash in the last CPU test of a long suite run.
-_CACHE_OK = _os.environ.get("JAX_PLATFORMS", "").lower() != "cpu"
+# as a flaky crash in the last CPU test of a long suite run.  Opt-IN
+# gate: the cache turns on only when JAX_PLATFORMS explicitly names a
+# TPU-class platform, so CPU-only hosts (env unset, jax auto-selects
+# CPU) never load cross-machine AOT entries.
+_CACHE_OK = any(
+    p in _os.environ.get("JAX_PLATFORMS", "").lower()
+    for p in ("tpu", "axon"))
 if _CACHE_OK:
     _os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",

@@ -544,12 +544,16 @@ def encode(data, cfg: CodecConfig = DEFAULT_CONFIG,
 
 def _dense_device_ok(enc: Encoded) -> bool:
     """Gate for the Mosaic dense-decode kernel (ops/pallas/dense_decode):
-    one staged row per block caps the block at 128 stream words, and the
-    4-symbol round loop wants a 4-divisible block size."""
+    one staged row per block caps the block at 128 stream words, the
+    4-symbol round loop wants a 4-divisible block size, and the reader's
+    refill invariant (THRESH 48 bits >= one round's worst consumption =
+    4*mcl) holds only for codebooks with max code length <= 12 — longer
+    codes fall back to the XLA table-gather path (round-5 review)."""
     cfg = enc.config
     return (cfg.block_bytes <= 1024 and cfg.block_bytes % 4 == 0
             and len(enc.block_bits) > 0
-            and int(np.asarray(enc.block_bits).max(initial=0)) <= 4096)
+            and int(np.asarray(enc.block_bits).max(initial=0)) <= 4096
+            and int(np.asarray(enc.codebook.lengths).max(initial=1)) <= 12)
 
 
 def decode(enc: Encoded, interpret: bool = False) -> np.ndarray:

@@ -105,7 +105,8 @@ def cmd_encode(args) -> int:
             else:
                 enc = api.encode(data, cfg)
         out = args.output or (path + ".htz")
-        size = container.dump(enc, out)
+        size = container.dump(enc, out,
+                              checksum=not args.no_checksum)
         print(f"{path}: {data.size} B, H={h:.4f} bits/B -> {out}: {size} B "
               f"(ratio {size / max(data.size, 1):.4f}) in {t.ms:.1f} ms "
               f"[{gb_per_s(data.size / 2**20, t.ms):.3f} GB/s inc. compile]")
@@ -272,6 +273,9 @@ def main(argv=None) -> int:
     add_mesh(sp)
     sp.add_argument("--verify", action="store_true",
                     help="bit-exact check vs the CPU golden encoder")
+    sp.add_argument("--no-checksum", action="store_true",
+                    help="skip the container payload CRC-32 (host-side "
+                         "single-thread pass; readers accept both forms)")
     sp.add_argument("--format", choices=("auto", "dense", "wide"),
                     default="auto",
                     help="dense: bit-concatenated stream (golden-exact); "

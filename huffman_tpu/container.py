@@ -24,7 +24,7 @@ Layout (all integers little-endian):
   ...           payload: ceil(total_bits/32) words, each stored big-endian
                 (so the payload bytes are exactly the MSB-first bitstream)
   ...     4     CRC-32 of the payload bytes (u32, when flags bit 0 set;
-                writers always set it, readers accept its absence)
+                writers set it by default, readers accept its absence)
 
 Version 3 (the WIDE interleaved format v2, golden/wide_codec.py): the
 same header with block_bytes := the tile size, total_bits := payload
@@ -53,9 +53,9 @@ VERSION = 1
 _HEADER = struct.Struct("<4sIIQIIQI")  # magic, ver, flags, n, bb, mcl, bits, nb
 
 # flags bit 0: a u32 CRC-32 (zlib polynomial) of the payload bytes is
-# appended after the payload and verified on load.  Writers always set
-# it; readers accept flag-less (pre-r5) containers unchanged, so the
-# field is the reserved-flags escape hatch the header always carried.
+# appended after the payload and verified on load.  Writers set it by
+# default (checksum=False opts out); readers accept flag-less (pre-r5)
+# containers unchanged — the reserved-flags escape hatch at work.
 FLAG_CRC32 = 1
 
 
@@ -77,9 +77,14 @@ def _crc_check(blob: bytes, flags: int, pay_off: int, pay_len: int) -> None:
             f"{got:#010x}) — container corrupt")
 
 
-def dumps(enc: Encoded) -> bytes:
-    """Serialize an Encoded stream to container bytes."""
-    header = _HEADER.pack(MAGIC, VERSION, FLAG_CRC32, enc.n_bytes,
+def dumps(enc: Encoded, checksum: bool = True) -> bytes:
+    """Serialize an Encoded stream to container bytes.
+
+    checksum=False skips the payload CRC (a single-threaded ~1.5 GB/s
+    host pass — noticeable next to the device kernels at GiB scale);
+    readers accept either form (flags bit 0)."""
+    header = _HEADER.pack(MAGIC, VERSION, FLAG_CRC32 if checksum else 0,
+                          enc.n_bytes,
                           enc.config.block_bytes, enc.config.max_code_len,
                           enc.total_bits, len(enc.block_bits))
     lens = np.asarray(enc.codebook.lengths, dtype=np.uint8).tobytes()
@@ -87,6 +92,8 @@ def dumps(enc: Encoded) -> bytes:
     n_words = cdiv(enc.total_bits, 32)
     payload = np.ascontiguousarray(
         enc.stream_words[:n_words], dtype=np.uint32).astype(">u4").tobytes()
+    if not checksum:
+        return header + lens + bbits + payload
     import zlib
     crc = struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
     return header + lens + bbits + payload + crc
@@ -125,10 +132,11 @@ def loads(blob: bytes) -> Encoded:
 WIDE_VERSION = 3
 
 
-def dumps_wide(enc) -> bytes:
+def dumps_wide(enc, checksum: bool = True) -> bytes:
     """Serialize a wide.WideEncoded stream (container version 3)."""
     from .golden.wide_codec import ROUNDS, TILE_BYTES
-    header = _HEADER.pack(MAGIC, WIDE_VERSION, FLAG_CRC32, enc.n_bytes,
+    header = _HEADER.pack(MAGIC, WIDE_VERSION,
+                          FLAG_CRC32 if checksum else 0, enc.n_bytes,
                           TILE_BYTES, enc.config.max_code_len,
                           int(enc.payload_words.size) * 32,
                           len(enc.tile_words))
@@ -139,6 +147,8 @@ def dumps_wide(enc) -> bytes:
         raise ValueError("bases shape mismatch")
     payload = np.ascontiguousarray(enc.payload_words,
                                    dtype=np.uint32).tobytes()
+    if not checksum:
+        return header + lens + counts + bases.tobytes() + payload
     import zlib
     crc = struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
     return header + lens + counts + bases.tobytes() + payload + crc
@@ -189,9 +199,10 @@ def container_version(blob: bytes) -> int:
     return _HEADER.unpack_from(blob, 0)[1]
 
 
-def dump(enc, path: str) -> int:
+def dump(enc, path: str, checksum: bool = True) -> int:
     from .wide import WideEncoded
-    blob = dumps_wide(enc) if isinstance(enc, WideEncoded) else dumps(enc)
+    blob = (dumps_wide(enc, checksum) if isinstance(enc, WideEncoded)
+            else dumps(enc, checksum))
     with open(path, "wb") as f:
         f.write(blob)
     return len(blob)

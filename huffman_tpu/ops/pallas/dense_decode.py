@@ -107,7 +107,7 @@ def _stage_subtile(win, o_bits, it8):
 _DN = (((1,), (1,)), ((), ()))     # contract dim1 x dim1 (MXU transpose)
 
 
-def _refresh_banks(staged, d_lane, sel_e, sel_o, ident):
+def _refresh_banks(staged, d_lane, sel_e, sel_o):
     """(even, odd) 8-row word banks for one group, cursor-normalized.
 
     staged: (128, 128) rows=blocks.  d_lane: (128, 1) per-block word
@@ -147,7 +147,7 @@ def _decode_dense_kernel(lim_ref, off_ref, lb_ref, sel_ref, perm_ref,
                          meta_ref, valid_ref, stream_hbm, strow_hbm,
                          out_ref, wins, staged_refs, banks_ref, sems,
                          msem, mwin, *, mcl: int, two_row_perm: bool,
-                         n_steps: int, rounds: int, groups: int):
+                         rounds: int, groups: int):
     g = pl.program_id(0)
     n_sub = groups * 16                      # 8-block subtiles per step
     st0 = g * n_sub
@@ -213,8 +213,8 @@ def _decode_dense_kernel(lim_ref, off_ref, lb_ref, sel_ref, perm_ref,
             grp = 8 * s + r
             dg = jnp.sum(jnp.where(lane_g8 == r, dTi, 0),
                          axis=1, keepdims=True)
-            e, o = _refresh_banks(staged_refs[grp][:], dg, sel_e, sel_o,
-                                  ident)
+            e, o = _refresh_banks(staged_refs[grp][:], dg, sel_e,
+                                  sel_o)
             banks_ref[pl.ds(pl.multiple_of(16 * grp, 8), 8)] = e
             banks_ref[pl.ds(pl.multiple_of(16 * grp + 8, 8), 8)] = o
 
@@ -436,8 +436,7 @@ def decode_dense_pallas(stream_rows: jax.Array, meta_bits: jax.Array,
         _decode_dense_kernel(lim, offv, lb, sel_r, permr, meta, val,
                              stream, srow, out, wins, staged, banks,
                              sems, msem, mwin, mcl=mcl,
-                             two_row_perm=two_row_perm,
-                             n_steps=n_steps, rounds=rounds,
+                             two_row_perm=two_row_perm, rounds=rounds,
                              groups=groups)
 
     out = pl.pallas_call(

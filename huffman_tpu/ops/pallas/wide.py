@@ -731,11 +731,14 @@ def emit_planes_pallas(streams_wm: jax.Array, l2p: jax.Array,
     nt = l2p.shape[0] // (ROUNDS * 2)
     wcols = streams_wm.shape[0] // (nt * 8)
     import os
-    td_pref = int(os.environ.get("HUFF_WIDE_TD", "4"))
-    td = next((t for t in (td_pref, 4, 2, 1) if nt % t == 0), 1)
     # tiles per grid step.  Round-4 sweep (GB/s at 64 MiB): td=2: 11.1,
-    # 4: 13.2, 8: 11.4 (VMEM pressure); RB=16: 11.6.  Re-swept round 5
-    # after the in-kernel schedule + batched rank (HUFF_WIDE_TD knob).
+    # 4: 13.2, 8: 11.4 (VMEM pressure); round-5 re-sweep after the
+    # in-kernel schedule + batched rank: 4 still wins.  HUFF_WIDE_TD is
+    # an EXPERIMENT knob: clamped to <= 16 (the kernel's 2048-entry
+    # bases/cnts SMEM window covers td*ROUNDS + 1023 alignment slack),
+    # and baked in at trace time (same-shape recompiles ignore changes).
+    td_pref = min(16, max(1, int(os.environ.get("HUFF_WIDE_TD", "4"))))
+    td = next((t for t in (td_pref, 4, 2, 1) if nt % t == 0), 1)
     tri = jnp.triu(jnp.ones((128, 128), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

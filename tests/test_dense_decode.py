@@ -38,6 +38,24 @@ def test_api_decode_device_path():
     np.testing.assert_array_equal(api.decode(enc, interpret=True), data)
 
 
+def test_api_decode_gate_long_codes():
+    """Codebooks with max code length > 12 break the reader's refill
+    invariant (THRESH 48 < 4*mcl) — must fall back to XLA (review r5)."""
+    from huffman_tpu.codebook import Codebook
+    lens = np.zeros(256, np.int32)
+    lens[:4] = [1, 2, 14, 14]
+    cb = Codebook.from_lengths(lens)
+    data = np.zeros(5000, np.uint8)
+    data[::7] = 1
+    data[::13] = 2
+    data[::17] = 3
+    cfg = CodecConfig(block_bytes=128, max_code_len=14)
+    enc = api.encode(data, cfg, codebook=cb)
+    assert int(cb.lengths.max()) > 12
+    assert not api._dense_device_ok(enc)
+    np.testing.assert_array_equal(api.decode(enc), data)
+
+
 def test_api_decode_gate_oversized_blocks():
     """Blocks above 128 stream words fall back to the XLA path."""
     import dataclasses
