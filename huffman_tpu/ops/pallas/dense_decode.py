@@ -25,9 +25,11 @@ built from native vector moves (round-5, VERDICT item 3):
      per lane a 128-bit buffer, canonical length from pure compares
      (codebook.canonical_decode_arrays), 4 symbols per round.
 
-Eight groups (1024 blocks) batch per grid step so the round chain runs
-on full (8, 128) vregs.  Output words are round-major; one XLA transpose
-pass restores block order (HBM-bound, ~2 ms/GiB).
+Groups batch per grid step as INDEPENDENT 8-group stacks whose round
+chains interleave (the wide reader's td lesson; 32 groups/step on
+hardware: 5.5 -> 7.0 GB/s, 64 exceeds the scoped-VMEM limit).  Output
+words are round-major; one XLA transpose pass restores block order
+(HBM-bound, ~2 ms/GiB).
 
 Constraint: cap_words <= 128 (one row per block).  That covers every
 capacity bucket up to 4 bits/byte — the regime the dense format is used
